@@ -1,0 +1,239 @@
+"""Pauli algebra and linear-inversion density-matrix reconstruction.
+
+TPU-first redesign of the reference reconstruction
+(``multi_qubit_any_state/reconstruct.py:5-76``): instead of a Python loop
+over all 4^N Pauli strings that rescans the sample arrays for each string
+(``get_coefficient``), we compute *sufficient statistics once* — the mean
+parity of every qubit subset per measured basis, built by an O(N) doubling
+pass — and obtain every Pauli coefficient with a single einsum against a
+precomputed compatibility matrix. The density matrix then assembles as one
+``[4^N] x [4^N, d, d]`` contraction on the MXU.
+
+Endianness convention (global, see package docstring): qubit q is bit q of
+the computational-basis index (little-endian, qubit 0 = LSB), and index q of
+every label/bitstring array. ``pauli_matrices`` therefore krons factor q=N-1
+outermost — equivalent to the reference's "CRITICAL FIX" label reversal
+(``multi_qubit_any_state/reconstruct.py:17-24``), but baked into one
+convention instead of patched per phase.
+
+Coefficient estimation modes:
+
+- ``"mean"`` (default): average the parity estimate over *all* compatible
+  measured bases — statistically strictly better than the reference.
+- ``"first"``: use only the first compatible basis, bit-for-bit matching the
+  reference (``reconstruct.py:32-46``) for parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from itertools import product
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SINGLE = np.stack(
+    [
+        np.array([[1, 0], [0, 1]], dtype=np.complex64),  # I
+        np.array([[0, 1], [1, 0]], dtype=np.complex64),  # X
+        np.array([[0, -1j], [1j, 0]], dtype=np.complex64),  # Y
+        np.array([[1, 0], [0, -1]], dtype=np.complex64),  # Z
+    ]
+)
+
+PAULI_CHARS = "IXYZ"
+BASIS_CHARS = "XYZ"
+
+
+def all_pauli_labels(num_qubits: int) -> np.ndarray:
+    """``[4^N, N]`` int labels (0=I,1=X,2=Y,3=Z), index q = qubit q.
+
+    Enumeration order matches ``itertools.product('IXYZ', repeat=N)`` on the
+    label string (first character = qubit 0 varies slowest), mirroring the
+    reference's ``all_paulis`` list (``reconstruct.py:59``).
+    """
+    combos = list(product(range(4), repeat=num_qubits))
+    return np.array(combos, dtype=np.int32)
+
+
+def all_basis_labels(num_qubits: int) -> np.ndarray:
+    """``[3^N, N]`` int labels (0=X,1=Y,2=Z), index q = qubit q.
+
+    Row order matches the reference's canonical basis enumeration
+    ``itertools.product('XYZ', repeat=N)`` (``data_gen.py:23-26``), so
+    ``basis_idx`` values are interchangeable with the reference.
+    """
+    combos = list(product(range(3), repeat=num_qubits))
+    return np.array(combos, dtype=np.int32)
+
+
+def basis_label_to_str(label: np.ndarray) -> str:
+    return "".join(BASIS_CHARS[i] for i in label)
+
+
+def basis_str_to_label(s: str) -> np.ndarray:
+    return np.array([BASIS_CHARS.index(c) for c in s], dtype=np.int32)
+
+
+def pauli_matrices(labels: np.ndarray) -> np.ndarray:
+    """Build ``[K, d, d]`` complex64 Pauli-string matrices from int labels.
+
+    Qubit 0 is the innermost (fastest-varying / LSB) kron factor:
+    ``P = P_{N-1} ⊗ ... ⊗ P_1 ⊗ P_0``.
+    """
+    labels = np.asarray(labels)
+    if labels.ndim == 1:
+        labels = labels[None]
+    k, n = labels.shape
+    mats = _SINGLE[labels[:, 0]]  # [K, 2, 2]
+    for q in range(1, n):
+        nxt = _SINGLE[labels[:, q]]  # [K, 2, 2]  (becomes the new MSB factor)
+        mats = np.einsum("kab,kij->kaibj", nxt, mats).reshape(
+            k, mats.shape[1] * 2, mats.shape[2] * 2
+        )
+    return mats
+
+
+def pauli_matrix(label_str: str) -> np.ndarray:
+    """Single Pauli-string matrix from a character label ('XZI' etc.)."""
+    label = np.array([PAULI_CHARS.index(c) for c in label_str], dtype=np.int32)
+    return pauli_matrices(label)[0]
+
+
+def subset_parity_means(
+    bits: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Mean parity of every qubit subset, per measured basis.
+
+    Args:
+      bits: ``[B, S, N]`` integer bit samples (basis, shot, qubit).
+      weights: optional ``[B, S]`` nonnegative sample weights (e.g. counts);
+        zero-weight rows are padding. Defaults to uniform.
+
+    Returns:
+      ``[B, 2^N]`` float32; column ``m`` is E[prod_{q: bit q of m} (1-2 x_q)].
+      Column 0 (empty subset) is 1.
+    """
+    b, s, n = bits.shape
+    vals = (1 - 2 * bits).astype(jnp.float32)  # [B, S, N] in {-1, +1}
+    par = jnp.ones((b, s, 1), dtype=jnp.float32)
+    for q in range(n):  # static N-step doubling: [B,S,2^q] -> [B,S,2^{q+1}]
+        par = jnp.concatenate([par, par * vals[:, :, q : q + 1]], axis=-1)
+    if weights is None:
+        return jnp.mean(par, axis=1)
+    w = weights.astype(jnp.float32)
+    tot = jnp.sum(w, axis=1, keepdims=True)
+    return jnp.einsum("bs,bsm->bm", w, par) / jnp.maximum(tot, 1.0)
+
+
+def _compat_weights(
+    num_qubits: int, basis_labels: np.ndarray, mode: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Precompute (W [4^N, B] float32, mask_idx [4^N] int32) on host.
+
+    ``W[p, b]`` weights basis b's parity estimate in Pauli p's coefficient;
+    rows sum to 1 (or to 0 for Pauli strings no measured basis can estimate,
+    whose coefficient then comes out 0 — same as the reference's fallthrough
+    ``return 0.0``, ``reconstruct.py:49``). ``mask_idx[p]`` is the subset
+    mask (bit q set iff Pauli p acts nontrivially on qubit q).
+    """
+    paulis = all_pauli_labels(num_qubits)  # [P, N]
+    nontrivial = paulis != 0  # [P, N]
+    mask_idx = (nontrivial * (1 << np.arange(num_qubits))).sum(1).astype(np.int32)
+    # Compatible: on every non-identity site, basis char equals pauli char.
+    # pauli code 1,2,3 (X,Y,Z) matches basis code 0,1,2 (X,Y,Z).
+    compat = np.all(
+        ~nontrivial[:, None, :]
+        | (paulis[:, None, :] - 1 == basis_labels[None, :, :]),
+        axis=-1,
+    )  # [P, B] bool
+    if mode == "first":
+        w = np.zeros(compat.shape, dtype=np.float32)
+        has = compat.any(axis=1)
+        first = compat.argmax(axis=1)
+        w[np.nonzero(has)[0], first[has]] = 1.0
+    elif mode == "mean":
+        counts = compat.sum(axis=1, keepdims=True)
+        w = compat.astype(np.float32) / np.maximum(counts, 1)
+    else:
+        raise ValueError(f"unknown compat mode: {mode!r}")
+    return w, mask_idx
+
+
+def project_psd(rho: jnp.ndarray) -> jnp.ndarray:
+    """Clip negative eigenvalues and renormalise the trace to 1.
+
+    Matches ``make_positive_semidefinite`` (``reconstruct.py:51-70``): eigh,
+    clamp eigenvalues at 0, renormalise eigenvalue sum when positive.
+    """
+    evals, evecs = jnp.linalg.eigh(rho)
+    evals = jnp.maximum(evals, 0.0)
+    total = jnp.sum(evals)
+    evals = jnp.where(total > 0, evals / jnp.where(total > 0, total, 1.0), evals)
+    return (evecs * evals.astype(evecs.dtype)) @ evecs.conj().T
+
+
+def make_inverter(
+    num_qubits: int,
+    basis_labels: np.ndarray | None = None,
+    compat_mode: str = "mean",
+    psd: bool = True,
+):
+    """Build a jitted linear-inversion function for a fixed basis set.
+
+    Args:
+      num_qubits: N.
+      basis_labels: ``[B, N]`` int basis labels of the measured bases, in the
+        row order of the ``bits`` argument. Defaults to all 3^N canonical.
+      compat_mode: ``"mean"`` or ``"first"`` (see module docstring).
+      psd: project onto the PSD cone and renormalise (reference always does).
+
+    Returns:
+      ``invert(bits [B, S, N], weights=None) -> rho [d, d] complex64``.
+    """
+    if basis_labels is None:
+        basis_labels = all_basis_labels(num_qubits)
+    w_np, mask_idx_np = _compat_weights(num_qubits, basis_labels, compat_mode)
+    paulis_np = pauli_matrices(all_pauli_labels(num_qubits))  # [P, d, d]
+    dim = 2**num_qubits
+    w = jnp.asarray(w_np)
+    mask_idx = jnp.asarray(mask_idx_np)
+    paulis = jnp.asarray(paulis_np)
+    identity_row = jnp.asarray(
+        (all_pauli_labels(num_qubits) == 0).all(1), dtype=jnp.float32
+    )
+
+    @jax.jit
+    def invert(bits, weights=None):
+        parities = subset_parity_means(bits, weights)  # [B, 2^N]
+        selected = parities[:, mask_idx]  # [B, P]
+        coeff = jnp.einsum("pb,bp->p", w, selected)
+        coeff = coeff * (1.0 - identity_row) + identity_row  # <I..I> == 1
+        rho = (
+            jnp.einsum("p,pij->ij", coeff.astype(jnp.complex64), paulis) / dim
+        )
+        return project_psd(rho) if psd else rho
+
+    return invert
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_inverter(num_qubits: int, compat_mode: str, psd: bool):
+    return make_inverter(num_qubits, None, compat_mode, psd)
+
+
+def linear_inversion(
+    bits,
+    num_qubits: int,
+    weights=None,
+    compat_mode: str = "mean",
+    psd: bool = True,
+) -> jnp.ndarray:
+    """One-shot linear inversion over the full canonical 3^N basis set.
+
+    ``bits``: ``[3^N, S, N]`` samples in canonical basis order
+    (``all_basis_labels`` row order). For non-canonical / partial basis sets
+    use :func:`make_inverter` directly.
+    """
+    return _cached_inverter(num_qubits, compat_mode, psd)(bits, weights)

@@ -1,0 +1,108 @@
+"""Basis rotation + Born-rule sampling (device-side, batched).
+
+The reference builds one Qiskit circuit per (state, basis) and runs Aer
+serially over 3^N bases (``data_gen.py:219-242`` — hot loop #1). Here the
+rotated probability vectors for *all* circuits and *all* bases are computed
+in one batched einsum on the MXU, and all shots are drawn in one categorical
+sampling call.
+
+Measurement basis rotations (reference ``data_gen.py:225-233``):
+X → H, Y → S† then H (matrix H @ S†), Z → identity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddqst_tpu.qsim import gates as G
+
+_ROT1 = np.stack([G.H, G.H @ G.SDG, G.I])  # [3, 2, 2]: X, Y, Z
+
+
+def rotation_unitary(basis_label) -> np.ndarray:
+    """Full-space rotation for one basis label (ints 0=X,1=Y,2=Z, idx q = qubit q)."""
+    basis_label = tuple(int(b) for b in basis_label)
+    mat = _ROT1[basis_label[0]]
+    for b in basis_label[1:]:
+        nxt = _ROT1[b]
+        mat = np.einsum("ab,ij->aibj", nxt, mat).reshape(
+            mat.shape[0] * 2, mat.shape[1] * 2
+        )
+    return mat
+
+
+def rotation_unitaries(basis_labels: np.ndarray) -> np.ndarray:
+    """``[B, d, d]`` complex64 rotations for a stack of basis labels."""
+    basis_labels = np.asarray(basis_labels)
+    mats = _ROT1[basis_labels[:, 0]]
+    for q in range(1, basis_labels.shape[1]):
+        nxt = _ROT1[basis_labels[:, q]]
+        mats = np.einsum("kab,kij->kaibj", nxt, mats).reshape(
+            mats.shape[0], mats.shape[1] * 2, mats.shape[2] * 2
+        )
+    return mats
+
+
+def measurement_probs(psi: jnp.ndarray, basis_label) -> jnp.ndarray:
+    """Outcome probabilities of measuring |ψ⟩ in one Pauli basis."""
+    u = jnp.asarray(rotation_unitary(basis_label))
+    phi = u @ psi
+    return jnp.real(phi * jnp.conj(phi))
+
+
+@jax.jit
+def batched_probs_pure(psis: jnp.ndarray, rots: jnp.ndarray) -> jnp.ndarray:
+    """``[C, d]`` states x ``[B, d, d]`` rotations -> ``[C, B, d]`` probs."""
+    phi = jnp.einsum("bij,cj->cbi", rots, psis)
+    p = jnp.real(phi * jnp.conj(phi))
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+@jax.jit
+def batched_probs_mixed(rhos: jnp.ndarray, rots: jnp.ndarray) -> jnp.ndarray:
+    """``[C, d, d]`` density matrices x ``[B, d, d]`` rotations -> ``[C, B, d]``."""
+    p = jnp.real(jnp.einsum("bij,cjk,bik->cbi", rots, rhos, jnp.conj(rots)))
+    p = jnp.maximum(p, 0.0)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _num_bits(d: int) -> int:
+    return int(d - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("shots",))
+def sample_outcomes(key: jax.Array, probs: jnp.ndarray, shots: int) -> jnp.ndarray:
+    """Draw ``shots`` categorical outcomes per leading index.
+
+    probs ``[..., d]`` -> outcomes ``[..., shots]`` int32 in [0, d).
+    """
+    logits = jnp.log(jnp.maximum(probs, 1e-38))
+    return jax.random.categorical(
+        key, logits[..., None, :], axis=-1,
+        shape=logits.shape[:-1] + (shots,),
+    )
+
+
+def outcomes_to_bits(outcomes: jnp.ndarray, num_qubits: int) -> jnp.ndarray:
+    """Unpack little-endian outcome indices into ``[..., N]`` bits (qubit 0 first)."""
+    shifts = jnp.arange(num_qubits, dtype=outcomes.dtype)
+    return ((outcomes[..., None] >> shifts) & 1).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("shots", "num_qubits"))
+def sample_bits(key, probs, shots: int, num_qubits: int) -> jnp.ndarray:
+    """probs ``[..., d]`` -> bit samples ``[..., shots, N]`` int8."""
+    return outcomes_to_bits(sample_outcomes(key, probs, shots), num_qubits)
+
+
+@functools.partial(jax.jit, static_argnames=("shots",))
+def sample_counts(key, probs, shots: int) -> jnp.ndarray:
+    """probs ``[..., d]`` -> counts ``[..., d]`` int32 summing to ``shots``."""
+    outcomes = sample_outcomes(key, probs, shots)
+    d = probs.shape[-1]
+    onehot = outcomes[..., None] == jnp.arange(d, dtype=outcomes.dtype)
+    return jnp.sum(onehot.astype(jnp.int32), axis=-2)
