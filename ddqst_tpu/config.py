@@ -1,0 +1,158 @@
+"""One dataclass config tree with per-phase presets.
+
+Replaces the reference's four drifting ``config.py`` DEFAULTS dicts
+(``multi_qubit_special_states/config.py:3-24``,
+``multi_qubit_any_state/config.py:3-24``,
+``RQC_dataset_building_phase/config.py:3-22``) plus per-file argparse
+defaults. Each reference phase is a named preset; the CLI overlays flags on
+top of a preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "film_mlp"  # 'film_mlp' | 'transformer'
+    input_encoding: str = "float"  # 'float' (phases 1-3) | 'token' (phase 4)
+    embed_dim: int = 64
+    hidden_dim: int = 512
+    num_blocks: int = 4
+    num_heads: int = 4  # transformer only
+    dtype: str = "float32"  # compute dtype; 'bfloat16' for the TPU fast path
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    num_timesteps: int = 100
+    schedule: str = "linear"  # 'linear' (phases 1-3) | 'cosine' (phase 4)
+    # Reverse-step rule: 'auto' follows the schedule's reference-parity
+    # default (linear->renoise, cosine->exact posterior); 'renoise' is the
+    # quality path (see ops.diffusion.p_sample docstring).
+    sampler: str = "auto"  # 'auto' | 'exact' | 'renoise'
+
+    @property
+    def exact(self) -> bool | None:
+        return {"auto": None, "exact": True, "renoise": False}[self.sampler]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256
+    learning_rate: float = 1e-4
+    optimizer: str = "adamw"  # 'adamw' (phases 2-3) | 'adam' (phase 4)
+    num_epochs: int = 300
+    seed: int = 0
+    eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)
+    log_every: int = 50  # epochs between train-loss prints (phases 2-3: 50)
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 0  # steps; 0 = final-only (reference behaviour)
+    data_axis: int = 1  # data-parallel mesh size (1 = single chip)
+    model_axis: int = 1  # model-parallel mesh size (transformer only)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    num_qubits: int = 2
+    state_type: str = "bell"  # 'plus' | 'bell' | 'ghz' | 'rqc'
+    noise_type: str = "readout"  # 'torino'|'ideal'|'readout'|'depolarizing'|'thermal'
+    shots_train: int = 1000
+    shots_infer: int = 10000
+    rqc_depth: int = 5
+    max_bases: int = 0  # 0 = all 3^N; >0 = shadow cap (builders use 50/100)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "experiment"
+    model: ModelConfig = ModelConfig()
+    diffusion: DiffusionConfig = DiffusionConfig()
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(**kw) -> ExperimentConfig:
+    sub = {}
+    for field, cls in (
+        ("model", ModelConfig),
+        ("diffusion", DiffusionConfig),
+        ("train", TrainConfig),
+        ("data", DataConfig),
+    ):
+        sub[field] = cls(**kw.pop(field, {}))
+    return ExperimentConfig(**kw, **sub)
+
+
+# One preset per reference phase (+ the large-N transformer stretch config).
+PRESETS: dict[str, ExperimentConfig] = {
+    # Phase 1 (single_qubit_phase notebook): 1-qubit |+>, basis-conditioned
+    # MLP, 1024 shots/basis, ~200 epochs, batch 512.
+    "single_qubit": _cfg(
+        name="single_qubit",
+        model=dict(embed_dim=64, hidden_dim=256, num_blocks=2),
+        diffusion=dict(num_timesteps=100, schedule="linear"),
+        train=dict(batch_size=512, learning_rate=1e-4, num_epochs=200),
+        data=dict(num_qubits=1, state_type="plus", noise_type="readout",
+                  shots_train=1024, shots_infer=10000),
+    ),
+    # Phase 2 (multi_qubit_special_states/config.py:3-24).
+    "special_states": _cfg(
+        name="special_states",
+        model=dict(embed_dim=64, hidden_dim=512, num_blocks=4),
+        diffusion=dict(num_timesteps=100, schedule="linear"),
+        train=dict(batch_size=256, learning_rate=1e-4, optimizer="adamw",
+                   num_epochs=300),
+        data=dict(num_qubits=2, state_type="bell", noise_type="ideal",
+                  shots_train=1000, shots_infer=10000),
+    ),
+    # Phase 3 (multi_qubit_any_state): same arch, 5 noise models, RQC states.
+    "any_state": _cfg(
+        name="any_state",
+        model=dict(embed_dim=64, hidden_dim=512, num_blocks=4),
+        diffusion=dict(num_timesteps=100, schedule="linear"),
+        train=dict(batch_size=256, learning_rate=1e-4, optimizer="adamw",
+                   num_epochs=300),
+        data=dict(num_qubits=2, state_type="rqc", noise_type="readout",
+                  shots_train=1000, shots_infer=10000, rqc_depth=5),
+    ),
+    # Phase 4 (RQC_dataset_building_phase/config.py:3-22): token-embedding
+    # model, cosine schedule + exact posterior, Adam 1e-3, batch 1024.
+    "rqc": _cfg(
+        name="rqc",
+        model=dict(input_encoding="token", embed_dim=128, hidden_dim=512,
+                   num_blocks=4),
+        diffusion=dict(num_timesteps=100, schedule="cosine"),
+        train=dict(batch_size=1024, learning_rate=1e-3, optimizer="adam",
+                   num_epochs=30),
+        data=dict(num_qubits=3, state_type="rqc", noise_type="torino",
+                  shots_train=1024, shots_infer=5000),
+    ),
+    # Stretch (BASELINE.json config 5): N=10+ transformer denoiser with
+    # per-qubit basis tokens (3^N basis vocabulary is infeasible at N=10).
+    "shadow_transformer": _cfg(
+        name="shadow_transformer",
+        model=dict(arch="transformer", input_encoding="token", embed_dim=128,
+                   hidden_dim=512, num_blocks=4, num_heads=4),
+        diffusion=dict(num_timesteps=100, schedule="cosine"),
+        train=dict(batch_size=1024, learning_rate=1e-3, optimizer="adam",
+                   num_epochs=30),
+        data=dict(num_qubits=10, state_type="rqc", noise_type="readout",
+                  shots_train=1024, shots_infer=5000, rqc_depth=8,
+                  max_bases=100),
+    ),
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown preset {name!r}; options: {sorted(PRESETS)}"
+        ) from None

@@ -1,0 +1,126 @@
+"""FiLM-conditioned residual-MLP denoiser (the reference's backbone family).
+
+Covers both reference variants behind one ``input_encoding`` switch:
+
+- ``"float"`` — bits cast to float and projected ``Dense(N -> H)``
+  (reference phases 2-3, ``multi_qubit_any_state/model.py:56,69-70``).
+- ``"token"`` — per-bit embedding ``Embed(2, E)`` flattened to ``[B, N·E]``
+  then projected (reference phase 4, ``RQC_dataset_building_phase/
+  model.py:32,55-57``).
+
+Conditioning: time embedding ``Embed(T+1, E)`` and basis embedding
+``Embed(3^N, E)`` concatenated into a ``2E`` conditioning vector feeding a
+FiLM layer per residual block — ``x * (1 + γ) + β`` then
+Dense→SiLU→Dense with a SiLU'd residual (``model.py:5-40``).
+
+TPU notes: hidden_dim defaults to 512 (4×128 lanes — MXU-aligned); compute
+dtype is switchable to bfloat16 (params stay float32). The whole forward is
+8 small matmuls + elementwise — XLA fuses the FiLM/SiLU chains into the
+matmuls; a fully-fused Pallas kernel for the sampler's forward lives in
+:mod:`ddqst_tpu.ops.pallas_kernels`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ddqst_tpu.config import ModelConfig
+
+
+class FiLMResBlock(nn.Module):
+    """Residual block with feature-wise linear modulation.
+
+    Mirrors reference ``FiLM`` + ``ResBlock`` (``model.py:5-40``): the
+    conditioning vector produces per-feature (γ, β) from one Dense layer.
+    """
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        gamma_beta = nn.Dense(2 * self.hidden_dim, dtype=self.dtype,
+                              name="film")(cond)
+        gamma, beta = jnp.split(gamma_beta, 2, axis=-1)
+        h = x * (1.0 + gamma) + beta
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(h)
+        return nn.silu(x + h)
+
+
+class ConditionalD3PM(nn.Module):
+    """Basis- and time-conditioned bitstring denoiser.
+
+    ``__call__(x_t [B,N] int, t [B] int, basis_idx [B] int) -> logits
+    [B,N,2]`` — same signature/semantics as the reference
+    (``multi_qubit_any_state/model.py:68-85``).
+    """
+
+    num_qubits: int
+    num_bases: int
+    num_timesteps: int
+    embed_dim: int = 64
+    hidden_dim: int = 512
+    num_blocks: int = 4
+    input_encoding: str = "float"  # 'float' | 'token'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, basis_idx):
+        b = x.shape[0]
+        if self.input_encoding == "float":
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_proj")(
+                x.astype(self.dtype)
+            )
+        elif self.input_encoding == "token":
+            emb = nn.Embed(2, self.embed_dim, dtype=self.dtype, name="x_emb")(x)
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_proj")(
+                emb.reshape(b, self.num_qubits * self.embed_dim)
+            )
+        else:
+            raise ValueError(f"bad input_encoding {self.input_encoding!r}")
+
+        t_emb = nn.Embed(self.num_timesteps + 1, self.embed_dim,
+                         dtype=self.dtype, name="time_emb")(t)
+        b_emb = nn.Embed(self.num_bases, self.embed_dim, dtype=self.dtype,
+                         name="basis_emb")(basis_idx)
+        cond = jnp.concatenate([t_emb, b_emb], axis=-1)
+
+        for i in range(self.num_blocks):
+            h = FiLMResBlock(self.hidden_dim, dtype=self.dtype,
+                             name=f"block_{i}")(h, cond)
+
+        out = nn.Dense(self.num_qubits * 2, dtype=self.dtype,
+                       name="output_head")(h)
+        return out.reshape(b, self.num_qubits, 2).astype(jnp.float32)
+
+
+def build_model(cfg: ModelConfig, num_qubits: int, num_timesteps: int) -> nn.Module:
+    """Instantiate a denoiser from a :class:`ModelConfig`."""
+    dtype = jnp.dtype(cfg.dtype)
+    if cfg.arch == "film_mlp":
+        return ConditionalD3PM(
+            num_qubits=num_qubits,
+            num_bases=3**num_qubits,
+            num_timesteps=num_timesteps,
+            embed_dim=cfg.embed_dim,
+            hidden_dim=cfg.hidden_dim,
+            num_blocks=cfg.num_blocks,
+            input_encoding=cfg.input_encoding,
+            dtype=dtype,
+        )
+    if cfg.arch == "transformer":
+        from ddqst_tpu.models.transformer import TransformerDenoiser
+
+        return TransformerDenoiser(
+            num_qubits=num_qubits,
+            num_timesteps=num_timesteps,
+            embed_dim=cfg.embed_dim,
+            hidden_dim=cfg.hidden_dim,
+            num_blocks=cfg.num_blocks,
+            num_heads=cfg.num_heads,
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown arch {cfg.arch!r}")

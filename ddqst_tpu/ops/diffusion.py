@@ -1,0 +1,187 @@
+"""D3PM forward noising, denoising loss, and reverse samplers.
+
+TPU-first redesign of the reference ``DiscreteDiffusion``
+(``multi_qubit_any_state/diffusion.py``, ``RQC_dataset_building_phase/
+diffusion.py``):
+
+- ``q_sample`` — the reference loops per qubit (``diffusion.py:38-50``) or
+  per sample (``RQC.../diffusion.py:48-50``) doing gather + multinomial on
+  2x2 matrices. Because every transition matrix is a *symmetric* flip
+  channel, x_t is exactly ``x_0 XOR Bernoulli(cum_flip[t])`` — one fused
+  elementwise op over the whole batch.
+- ``p_sample`` — the reference's Python loop over t with per-basis calls
+  (``main.py:157-159``) becomes one ``lax.scan`` over t, batched over
+  *all* bases x shots at once. The binary posterior is computed in closed
+  form (a single probability per bit) rather than materialising ``[B,N,2]``
+  transition/prior tensors (``RQC.../diffusion.py:64-79``) — identical in
+  distribution, half the memory traffic.
+
+Both reverse-step rules are provided, selected by the schedule:
+
+- exact posterior (phase 4): p(x_{t-1}|x_t, p̂(x_0)) ∝
+  P(x_t|x_{t-1}) · Σ_{x_0} p̂(x_0) Q̄_{t-1}[x_0, x_{t-1}]
+- predict-x0-and-renoise (phases 1-3): sample x̂_0 from the model head,
+  then re-noise with ``q_sample(x̂_0, t-1)`` (``diffusion.py:66-80``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ddqst_tpu.ops.schedules import DiffusionSchedule
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# (x_t [B,N] int, t [B] int, basis [B] or [B,N] int) -> logits [B,N,2]
+
+
+def q_sample(
+    key: jax.Array, x0: jnp.ndarray, t: jnp.ndarray, schedule: DiffusionSchedule
+) -> jnp.ndarray:
+    """Forward noising: flip each bit of x0 with probability cum_flip[t].
+
+    ``t`` broadcasts against ``x0[..., :-1]`` dims (typically ``[B]`` vs
+    ``[B, N]``).
+    """
+    p = schedule.cum_flip[t][..., None]
+    flips = jax.random.bernoulli(key, p, shape=x0.shape)
+    return jnp.bitwise_xor(x0, flips.astype(x0.dtype))
+
+
+def denoising_loss(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    x0: jnp.ndarray,
+    basis: jnp.ndarray,
+    schedule: DiffusionSchedule,
+) -> jnp.ndarray:
+    """Cross-entropy between predicted x0 logits and true x0.
+
+    Reference training step (``multi_qubit_any_state/main.py:133-140``):
+    t ~ U[1, T], x_t = q_sample(x_0, t), CE(model(x_t, t, basis), x_0).
+    """
+    kt, kq = jax.random.split(key)
+    t = jax.random.randint(
+        kt, (x0.shape[0],), 1, schedule.num_timesteps + 1
+    )
+    x_t = q_sample(kq, x0, t, schedule)
+    logits = denoise_fn(x_t, t, basis)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, x0[..., None].astype(jnp.int32), axis=-1)
+    return jnp.mean(nll)
+
+
+def _posterior_p1(
+    logits: jnp.ndarray,
+    x_t: jnp.ndarray,
+    beta_t: jnp.ndarray,
+    cum_flip_tm1: jnp.ndarray,
+) -> jnp.ndarray:
+    """P(x_{t-1}=1 | x_t, p̂(x_0)) for the symmetric binary channel.
+
+    Closed-form scalarisation of the reference's tensor computation
+    (``RQC.../diffusion.py:64-76``): prior_j = Σ_i p̂_i Q̄_{t-1}[i, j] and
+    trans_j = P(x_t | x_{t-1}=j), combined and normalised per bit.
+    """
+    p1_hat = jax.nn.softmax(logits, axis=-1)[..., 1]
+    prior1 = p1_hat * (1.0 - cum_flip_tm1) + (1.0 - p1_hat) * cum_flip_tm1
+    prior0 = 1.0 - prior1
+    x_is_one = (x_t == 1)
+    trans1 = jnp.where(x_is_one, 1.0 - beta_t, beta_t)
+    trans0 = jnp.where(x_is_one, beta_t, 1.0 - beta_t)
+    u1 = trans1 * prior1
+    u0 = trans0 * prior0
+    return u1 / (u0 + u1 + 1e-8)
+
+
+def p_sample(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    basis: jnp.ndarray,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """Reverse diffusion: generate one bitstring sample per basis row.
+
+    Args:
+      key: PRNG key.
+      denoise_fn: closure over params, ``(x_t, t, basis) -> logits``.
+      basis: ``[B]`` global basis indices (or ``[B, N]`` per-qubit labels) —
+        one generated sample per row; batch all bases x shots here.
+      num_qubits: N.
+      schedule: noise schedule.
+      exact: reverse rule override. ``None`` follows the schedule's
+        reference-parity default (cosine→exact posterior, linear→renoise).
+        Because the per-bit heads factorise the posterior, the exact rule
+        under the cosine schedule freezes before correlations lock in
+        (verified with a Bayes-optimal denoiser: ~0.75 Bell correlation vs
+        ~0.99 for renoise) — for best reconstruction quality pass
+        ``exact=False`` even with the cosine schedule.
+
+    Returns:
+      ``[B, N]`` int8 samples of x_0.
+    """
+    if exact is None:
+        exact = schedule.exact_posterior
+    num = basis.shape[0]
+    k_init, k_scan = jax.random.split(key)
+    x_t = jax.random.bernoulli(k_init, 0.5, (num, num_qubits)).astype(jnp.int8)
+    ts = jnp.arange(schedule.num_timesteps, 0, -1)
+
+    def step(x, t):
+        kt = jax.random.fold_in(k_scan, t)
+        t_vec = jnp.full((num,), t, dtype=jnp.int32)
+        logits = denoise_fn(x, t_vec, basis)
+        if exact:
+            p1 = _posterior_p1(
+                logits, x, schedule.betas[t], schedule.cum_flip[t - 1]
+            )
+            x_next = (
+                jax.random.uniform(kt, p1.shape) < p1
+            ).astype(jnp.int8)
+        else:
+            # Predict x̂_0, then re-noise to t-1 (skip re-noising at t=1).
+            k0, kn = jax.random.split(kt)
+            p1_hat = jax.nn.softmax(logits, axis=-1)[..., 1]
+            x0_hat = (jax.random.uniform(k0, p1_hat.shape) < p1_hat).astype(
+                jnp.int8
+            )
+            flip_p = jnp.where(t > 1, schedule.cum_flip[t - 1], 0.0)
+            flips = jax.random.bernoulli(kn, flip_p, x0_hat.shape)
+            x_next = jnp.bitwise_xor(x0_hat, flips.astype(jnp.int8))
+        return x_next, None
+
+    x0, _ = jax.lax.scan(step, x_t, ts)
+    return x0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "num_qubits", "shots", "exact")
+)
+def sample_all_bases(
+    key: jax.Array,
+    apply_fn,
+    params,
+    num_qubits: int,
+    shots: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """Generate ``shots`` samples for every canonical basis in ONE scan.
+
+    Returns ``[3^N, shots, N]`` int8. The reference loops bases in Python
+    re-running the T-step sampler 3^N times (``main.py:157-159``); here the
+    scan body sees a ``[3^N * shots, N]`` batch — big enough to fill the MXU.
+    """
+    num_bases = 3**num_qubits
+    basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), shots)
+
+    def denoise_fn(x, t, b):
+        return apply_fn(params, x, t, b)
+
+    out = p_sample(key, denoise_fn, basis, num_qubits, schedule, exact=exact)
+    return out.reshape(num_bases, shots, num_qubits)

@@ -1,0 +1,70 @@
+"""Device mesh and sharding helpers.
+
+The reference has no parallelism at all (single ``device`` string,
+``multi_qubit_any_state/main.py:88``; no ``torch.distributed`` anywhere —
+SURVEY.md §2.2). The TPU-native equivalent is SPMD over a
+``jax.sharding.Mesh``:
+
+- ``data`` axis — batch-sharded training steps and sampling scans. Params
+  are replicated; with sharded batch inputs under ``jit`` XLA inserts the
+  gradient all-reduce over ICI automatically.
+- ``model`` axis — reserved for the transformer stretch config (shard MLP
+  hidden / attention heads); size 1 for all reference-parity workloads,
+  which fit one chip.
+
+All of the reference's workloads fit a single TPU chip; multi-chip is a
+throughput multiplier, not a necessity (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices=None
+) -> Mesh:
+    """Create a ('data', 'model') mesh.
+
+    ``data=-1`` uses all remaining devices after the model axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_data(mesh: Mesh, array) -> jax.Array:
+    """Place an array with its leading axis sharded over the 'data' axis.
+
+    Pads implicitly via the caller: the leading dim must divide evenly; the
+    training loop guarantees this by dropping the remainder batch.
+    """
+    return jax.device_put(array, data_sharding(mesh, array.ndim))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )

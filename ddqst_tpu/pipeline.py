@@ -1,0 +1,165 @@
+"""End-to-end tomography pipeline: generate → train → sample → reconstruct.
+
+The TPU-native equivalent of the reference's per-phase ``main.py`` flow
+(``multi_qubit_any_state/main.py:86-183``): simulate measurement data for a
+target state under a noise model, train the conditional D3PM on the noisy
+bitstrings, generate a large synthetic dataset from the model, and linearly
+invert it into a density matrix with fidelity/purity/entropy metrics — plus
+the reference's scientific control, linear inversion directly on the raw
+training data ("Upper Bound from Training Data",
+``multi_qubit_special_states/main.py:136-164``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddqst_tpu.config import ExperimentConfig
+from ddqst_tpu.models import build_model
+from ddqst_tpu.ops import diffusion as diff
+from ddqst_tpu.ops import metrics as M
+from ddqst_tpu.ops import pauli
+from ddqst_tpu.ops.schedules import make_schedule
+from ddqst_tpu.qsim import measure, noise, states
+from ddqst_tpu import train as training
+
+
+@dataclasses.dataclass
+class GeneratedData:
+    bits: jnp.ndarray          # [B_bases, shots, N] int8
+    basis_labels: np.ndarray   # [B_bases, N] int
+    basis_idx: np.ndarray      # [B_bases] canonical indices
+    target: np.ndarray         # clean statevector [2^N] (fidelity target)
+    circuit: states.Circuit
+
+
+def generate_training_data(
+    cfg: ExperimentConfig, key: jax.Array, rng: np.random.Generator
+) -> GeneratedData:
+    """Simulate per-basis measurement shots for the configured state/noise.
+
+    Mirrors ``generate_synthetic_data`` (``data_gen.py:190-250``): one state
+    preparation (one RQC if applicable — ``data_gen.py:208-210``), measured
+    in all 3^N bases (or a shadow-capped random subset when
+    ``cfg.data.max_bases`` is set), under the configured noise model. The
+    fidelity target is always the *clean* state.
+    """
+    d = cfg.data
+    circuit = states.prep_circuit(d.state_type, d.num_qubits, d.rqc_depth, rng)
+    target = states.circuit_statevector(circuit)
+    ncfg = noise.get_noise_config(d.noise_type)
+    kind, state = noise.noisy_state(circuit, ncfg)
+
+    all_labels = pauli.all_basis_labels(d.num_qubits)
+    if d.max_bases and d.max_bases < len(all_labels):
+        sel = rng.choice(len(all_labels), size=d.max_bases, replace=False)
+        sel.sort()
+    else:
+        sel = np.arange(len(all_labels))
+    labels = all_labels[sel]
+    rots = jnp.asarray(measure.rotation_unitaries(labels))
+
+    if kind == "pure":
+        probs = measure.batched_probs_pure(jnp.asarray(state)[None], rots)[0]
+    else:
+        probs = measure.batched_probs_mixed(jnp.asarray(state)[None], rots)[0]
+    probs = noise.apply_readout_to_probs(probs, d.num_qubits, ncfg.readout_p)
+    bits = measure.sample_bits(key, probs, d.shots_train, d.num_qubits)
+    return GeneratedData(
+        bits=bits,
+        basis_labels=labels,
+        basis_idx=sel.astype(np.int32),
+        target=target,
+        circuit=circuit,
+    )
+
+
+def flatten_for_training(
+    bits: jnp.ndarray, basis_idx: np.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S, N] shots + [B] indices → shuffled-ready [B*S, N], [B*S]."""
+    b, s, n = bits.shape
+    x = bits.reshape(b * s, n)
+    basis = jnp.repeat(jnp.asarray(basis_idx, dtype=jnp.int32), s)
+    return x, basis
+
+
+def run_experiment(
+    cfg: ExperimentConfig,
+    seed: int = 0,
+    mesh=None,
+    log_fn: Callable = print,
+) -> dict:
+    """Full reference-parity run. Returns a metrics dict.
+
+    Keys: fidelity, purity, vn_entropy, ent_entropy, raw_fidelity (linear
+    inversion on the raw training shots — the reference's baseline check),
+    z_bias, losses, rho, rho_raw, target.
+    """
+    key = jax.random.key(seed)
+    rng = np.random.default_rng(seed)
+    k_data, k_train, k_sample = jax.random.split(key, 3)
+
+    log_fn(
+        f"[{cfg.name}] generating {cfg.data.state_type} N={cfg.data.num_qubits} "
+        f"noise={cfg.data.noise_type} shots={cfg.data.shots_train}"
+    )
+    data = generate_training_data(cfg, k_data, rng)
+    x, basis = flatten_for_training(data.bits, data.basis_idx)
+
+    schedule = make_schedule(cfg.diffusion.schedule, cfg.diffusion.num_timesteps)
+    model = build_model(cfg.model, cfg.data.num_qubits, cfg.diffusion.num_timesteps)
+
+    log_fn(f"[{cfg.name}] training on {x.shape[0]} shots")
+    state, losses = training.fit(
+        k_train, model, x, basis, cfg.train, schedule, mesh=mesh, log_fn=log_fn
+    )
+
+    log_fn(f"[{cfg.name}] sampling {cfg.data.shots_infer}/basis")
+    samples = diff.sample_all_bases(
+        k_sample, state.apply_fn, {"params": state.params},
+        cfg.data.num_qubits, cfg.data.shots_infer, schedule,
+        exact=cfg.diffusion.exact,
+    )
+
+    rho = pauli.linear_inversion(samples, cfg.data.num_qubits)
+    target = jnp.asarray(data.target)
+    fid = M.state_fidelity(target, rho)
+    pur, vn, ent = M.get_metrics(rho, cfg.data.num_qubits)
+    zb = M.z_bias(samples[-1])  # last canonical basis is Z...Z
+
+    # Baseline: inversion on the raw (noisy) training shots.
+    inv = pauli.make_inverter(cfg.data.num_qubits, data.basis_labels)
+    rho_raw = inv(data.bits)
+    fid_raw = M.state_fidelity(target, rho_raw)
+
+    results = {
+        "fidelity": float(fid),
+        "raw_fidelity": float(fid_raw),
+        "purity": float(pur),
+        "vn_entropy": float(vn),
+        "ent_entropy": float(ent),
+        "z_bias": float(zb),
+        "losses": np.asarray(losses),
+        "rho": np.asarray(rho),
+        "rho_raw": np.asarray(rho_raw),
+        "target": np.asarray(data.target),
+        "state": state,
+        "samples": samples,
+    }
+    log_fn(
+        f"[{cfg.name}] fidelity={results['fidelity']:.5f} "
+        f"(raw baseline {results['raw_fidelity']:.5f}) "
+        f"purity={results['purity']:.5f}"
+    )
+    threshold = 0.9  # reference success criterion (main.py:131-134)
+    log_fn(
+        f"[{cfg.name}] {'SUCCESS' if results['fidelity'] > threshold else 'WARNING'}"
+        f": fidelity {'>' if results['fidelity'] > threshold else '<='} {threshold}"
+    )
+    return results

@@ -1,0 +1,53 @@
+"""End-to-end slice: Bell-state tomography through the full pipeline.
+
+Scaled-down version of SURVEY.md §7.3's minimum slice (reference achieved
+0.95565 Bell fidelity with the full budget, notes.pdf Table 3); this test
+uses a small model/epoch budget so it runs on the CPU test mesh, with a
+correspondingly looser threshold. Full-budget runs live in examples/ and
+bench.py.
+"""
+
+import numpy as np
+import pytest
+
+from ddqst_tpu.config import get_preset
+from ddqst_tpu import pipeline
+
+
+@pytest.fixture(scope="module")
+def bell_results():
+    cfg = get_preset("special_states").replace(name="e2e_bell")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(embed_dim=32, hidden_dim=128, num_blocks=2),
+        diffusion=cfg.diffusion.__class__(
+            num_timesteps=50, schedule="cosine", sampler="renoise"
+        ),
+        train=cfg.train.__class__(
+            batch_size=256, learning_rate=1e-3, optimizer="adam",
+            num_epochs=100, log_every=0, eval_every=0,
+        ),
+        data=cfg.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="ideal",
+            shots_train=1000, shots_infer=3000,
+        ),
+    )
+    return pipeline.run_experiment(cfg, seed=0, log_fn=lambda *a: None)
+
+
+def test_bell_fidelity(bell_results):
+    assert bell_results["fidelity"] > 0.85, bell_results["fidelity"]
+
+
+def test_raw_baseline_high(bell_results):
+    # Ideal noise: linear inversion on raw data should be near-perfect.
+    assert bell_results["raw_fidelity"] > 0.97
+
+
+def test_z_bias_balanced(bell_results):
+    assert 0.3 < bell_results["z_bias"] < 0.7
+
+
+def test_rho_is_valid_state(bell_results):
+    rho = bell_results["rho"]
+    assert np.trace(rho).real == pytest.approx(1.0, abs=1e-4)
+    assert np.linalg.eigvalsh(rho).min() > -1e-5
