@@ -1,0 +1,119 @@
+"""Benchmark harness: flagship training + sampling throughput on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: training steps/sec on the phase-4 parity flagship
+(ConditionalD3PM token encoding, N=3, T=100, embed 128 / hidden 512 /
+4 blocks, batch 1024) — the reference's canonical training configuration
+(``RQC_dataset_building_phase/config.py:3-22``).
+
+Baseline: the reference-equivalent PyTorch training step measured on this
+host's CPU (the reference is CPU/Kaggle PyTorch with no accelerator code):
+3.5566 steps/sec (batch 1024) and 140.6 sampled bitstrings/sec through the
+T=100 exact-posterior sampler. Measured 2026-08-16 on this box (1-core
+host), phase-4-faithful implementation incl. its per-sample q_sample loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+TORCH_CPU_TRAIN_STEPS_PER_SEC = 3.5566
+TORCH_CPU_SAMPLED_BITSTRINGS_PER_SEC = 140.6
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddqst_tpu import train as training
+    from ddqst_tpu.config import get_preset
+    from ddqst_tpu.models import build_model
+    from ddqst_tpu.ops import diffusion as diff
+    from ddqst_tpu.ops.schedules import make_schedule
+
+    cfg = get_preset("rqc")
+    n = cfg.data.num_qubits
+    t_steps = cfg.diffusion.num_timesteps
+    batch = cfg.train.batch_size
+    schedule = make_schedule(cfg.diffusion.schedule, t_steps)
+    model = build_model(cfg.model, n, t_steps)
+    key = jax.random.key(0)
+
+    # --- Training throughput -------------------------------------------
+    steps_per_epoch = 40
+    m = batch * steps_per_epoch
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(0, 2, (m, n)), jnp.int8)
+    basis = jnp.asarray(rng.integers(0, 3**n, (m,)), jnp.int32)
+    state = training.create_state(key, model, cfg.train, n)
+
+    # Warmup (compile) then timed epochs.
+    state, _ = training._run_epoch(state, key, bits, basis, schedule, batch)
+    jax.block_until_ready(state.params)
+    n_epochs = 5
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        state, loss = training._run_epoch(
+            state, jax.random.fold_in(key, e), bits, basis, schedule, batch
+        )
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    train_steps_per_sec = steps_per_epoch * n_epochs / dt
+
+    # --- Sampling throughput --------------------------------------------
+    shots = 5000  # per basis, 27 bases -> 135k bitstrings per call
+    args = (state.apply_fn, {"params": state.params}, n, shots, schedule)
+    out = diff.sample_all_bases(jax.random.fold_in(key, 100), *args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = diff.sample_all_bases(jax.random.fold_in(key, 101), *args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    sampled_per_sec = (3**n) * shots / dt
+
+    # --- End-to-end GHZ-3 reconstruction fidelity ------------------------
+    from ddqst_tpu import pipeline
+
+    e2e = get_preset("rqc").replace(name="bench_ghz3")
+    e2e = e2e.replace(
+        diffusion=e2e.diffusion.__class__(
+            num_timesteps=100, schedule="cosine", sampler="renoise"
+        ),
+        train=e2e.train.__class__(
+            batch_size=1024, learning_rate=1e-3, optimizer="adam",
+            num_epochs=200, log_every=0, eval_every=0,
+        ),
+        data=e2e.data.__class__(
+            num_qubits=3, state_type="ghz", noise_type="readout",
+            shots_train=5000, shots_infer=10000,
+        ),
+    )
+    res = pipeline.run_experiment(e2e, seed=0, log_fn=lambda *a: None)
+
+    record = {
+        "metric": "train_steps_per_sec",
+        "value": round(train_steps_per_sec, 2),
+        "unit": "steps/s (batch 1024, N=3 flagship)",
+        "vs_baseline": round(
+            train_steps_per_sec / TORCH_CPU_TRAIN_STEPS_PER_SEC, 2
+        ),
+        "sampled_bitstrings_per_sec": round(sampled_per_sec, 1),
+        "sampling_vs_baseline": round(
+            sampled_per_sec / TORCH_CPU_SAMPLED_BITSTRINGS_PER_SEC, 2
+        ),
+        "ghz3_fidelity": round(res["fidelity"], 5),
+        "ghz3_raw_fidelity": round(res["raw_fidelity"], 5),
+        "ghz3_fidelity_reference": 0.87092,  # notes.pdf Table 3
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Split real/imaginary complex arithmetic for TPU.
+
+The TPU has no complex compute units (the MXU is a real systolic array), and
+this environment's TPU backend has no complex lowerings at all — every
+``complex64`` op raises UNIMPLEMENTED. This module is therefore the
+framework's *only* complex-number layer on the device path: a complex array
+is a ``CArray(re, im)`` pytree of two float32 arrays, complex products are
+real matmul combinations, and Hermitian spectral functions (PSD projection,
+sqrtm, entropies) go through the standard real embedding
+
+    J(H) = [[Re H, -Im H],
+            [Im H,  Re H]]   (2d x 2d real symmetric for Hermitian H),
+
+which is an algebra homomorphism — J(AB) = J(A)J(B) and f(J(H)) = J(f(H))
+for any spectral function f — with each eigenvalue of H appearing twice in
+J(H). Real ``eigh`` is fully supported on TPU.
+
+Host boundaries convert to/from numpy complex via :func:`from_complex` /
+:func:`to_complex`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class CArray(NamedTuple):
+    """Complex array as (real, imag) float32 parts. Registered pytree."""
+
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    def conj(self) -> "CArray":
+        return CArray(self.re, -self.im)
+
+    def transpose(self, *axes) -> "CArray":
+        return CArray(self.re.transpose(*axes), self.im.transpose(*axes))
+
+    @property
+    def T(self) -> "CArray":
+        return CArray(self.re.T, self.im.T)
+
+    def __add__(self, other: "CArray") -> "CArray":
+        return CArray(self.re + other.re, self.im + other.im)
+
+    def __sub__(self, other: "CArray") -> "CArray":
+        return CArray(self.re - other.re, self.im - other.im)
+
+    def __getitem__(self, idx) -> "CArray":
+        return CArray(self.re[idx], self.im[idx])
+
+    def reshape(self, *shape) -> "CArray":
+        return CArray(self.re.reshape(*shape), self.im.reshape(*shape))
+
+    def scale(self, s) -> "CArray":
+        """Multiply by a real scalar/array."""
+        return CArray(self.re * s, self.im * s)
+
+    def abs2(self) -> jnp.ndarray:
+        return self.re * self.re + self.im * self.im
+
+
+def from_complex(x, dtype=jnp.float32) -> CArray:
+    """numpy/jnp complex (or real) array -> CArray."""
+    x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
+    return CArray(
+        jnp.asarray(np.real(x), dtype), jnp.asarray(np.imag(x), dtype)
+    )
+
+
+def to_complex(c: CArray) -> np.ndarray:
+    """CArray -> host numpy complex64 (materialises the device arrays)."""
+    return np.asarray(c.re).astype(np.complex64) + 1j * np.asarray(c.im)
+
+
+def cmul(a: CArray, b: CArray) -> CArray:
+    """Elementwise complex multiply."""
+    return CArray(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
+
+
+def ceinsum(subscripts: str, a: CArray, b: CArray) -> CArray:
+    """Two-operand complex einsum via four real einsums."""
+    rr = jnp.einsum(subscripts, a.re, b.re)
+    ii = jnp.einsum(subscripts, a.im, b.im)
+    ri = jnp.einsum(subscripts, a.re, b.im)
+    ir = jnp.einsum(subscripts, a.im, b.re)
+    return CArray(rr - ii, ri + ir)
+
+
+def ceinsum_real_left(subscripts: str, a: jnp.ndarray, b: CArray) -> CArray:
+    """Complex einsum where the left operand is real."""
+    return CArray(jnp.einsum(subscripts, a, b.re), jnp.einsum(subscripts, a, b.im))
+
+
+def cmatmul(a: CArray, b: CArray) -> CArray:
+    return CArray(
+        a.re @ b.re - a.im @ b.im,
+        a.re @ b.im + a.im @ b.re,
+    )
+
+
+def cmatvec(a: CArray, v: CArray) -> CArray:
+    return CArray(
+        a.re @ v.re - a.im @ v.im,
+        a.re @ v.im + a.im @ v.re,
+    )
+
+
+def cvdot_real(a: CArray, b: CArray) -> jnp.ndarray:
+    """Re(<a|b>) = Re(Σ conj(a)·b)."""
+    return jnp.sum(a.re * b.re + a.im * b.im)
+
+
+def ctrace_real(a: CArray) -> jnp.ndarray:
+    return jnp.trace(a.re)
+
+
+def embed_hermitian(h: CArray) -> jnp.ndarray:
+    """Hermitian CArray [d, d] -> real symmetric [2d, 2d] embedding."""
+    top = jnp.concatenate([h.re, -h.im], axis=-1)
+    bot = jnp.concatenate([h.im, h.re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def unembed(j: jnp.ndarray) -> CArray:
+    """Inverse of :func:`embed_hermitian` (reads Re/Im blocks)."""
+    d = j.shape[-1] // 2
+    return CArray(j[..., :d, :d], j[..., d:, :d])
+
+
+def ceigvalsh(h: CArray) -> jnp.ndarray:
+    """Eigenvalues of a Hermitian CArray [d, d], ascending, length d.
+
+    The embedding doubles every eigenvalue; take every second of the
+    ascending-sorted 2d values.
+    """
+    w = jnp.linalg.eigvalsh(embed_hermitian(h))
+    return w[..., 0::2]
+
+
+def hermitian_fn(h: CArray, f: Callable[[jnp.ndarray], jnp.ndarray]) -> CArray:
+    """Spectral function f applied to a Hermitian CArray: f(H).
+
+    Computed in the real embedding (f(J(H)) = J(f(H))); ``f`` maps the real
+    eigenvalue array elementwise (it sees each eigenvalue twice).
+    """
+    j = embed_hermitian(h)
+    w, v = jnp.linalg.eigh(j)
+    return unembed((v * f(w)) @ v.T)
+
+
+def project_psd(h: CArray) -> CArray:
+    """Clip negative eigenvalues, renormalise trace to 1 (PSD projection).
+
+    Split-real equivalent of the reference's ``make_positive_semidefinite``
+    (``multi_qubit_any_state/reconstruct.py:51-70``).
+    """
+    j = embed_hermitian(h)
+    w, v = jnp.linalg.eigh(j)
+    wc = jnp.maximum(w, 0.0)
+    total = jnp.sum(wc) / 2.0  # eigenvalues are doubled in the embedding
+    scale = jnp.where(total > 0, 1.0 / jnp.where(total > 0, total, 1.0), 1.0)
+    return unembed((v * (wc * scale)) @ v.T)
+
+
+def sqrtm_psd(h: CArray) -> CArray:
+    """Matrix square root of a PSD Hermitian CArray."""
+    return hermitian_fn(h, lambda w: jnp.sqrt(jnp.maximum(w, 0.0)))

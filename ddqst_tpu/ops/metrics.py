@@ -1,60 +1,81 @@
-"""Quantum-state metrics as batched jnp linear algebra.
+"""Quantum-state metrics as batched real-valued jnp linear algebra.
 
 Replaces the reference's use of ``qiskit.quantum_info`` (``state_fidelity``,
 ``entropy``, ``partial_trace`` — cf. ``multi_qubit_any_state/main.py:171``
-and ``reconstruct.py:69-76``) with pure JAX so metrics run on TPU and can be
-vmapped over batches of reconstructed states.
+and ``reconstruct.py:69-76``) with pure JAX on the split-real complex
+representation (:mod:`ddqst_tpu.ops.complexlib` — the TPU backend has no
+complex lowerings; all spectral steps run as real eigh of the Hermitian
+embedding).
 
-Entropies use log base 2, matching qiskit's default.
+Inputs may be ``CArray`` (the device-native form), numpy/jnp complex, or
+real arrays; they are normalised via :func:`as_carray`. Entropies use log
+base 2, matching qiskit's default.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from ddqst_tpu.ops.complexlib import (
+    CArray,
+    ceigvalsh,
+    cmatmul,
+    cmatvec,
+    cvdot_real,
+    embed_hermitian,
+    from_complex,
+    sqrtm_psd,
+)
 
 _LOG2 = 0.6931471805599453  # ln(2)
 
 
-def _sqrtm_psd(mat: jnp.ndarray) -> jnp.ndarray:
-    """Matrix square root of a PSD Hermitian matrix via eigh."""
-    evals, evecs = jnp.linalg.eigh(mat)
-    evals = jnp.sqrt(jnp.maximum(evals, 0.0))
-    return (evecs * evals.astype(evecs.dtype)) @ evecs.conj().T
+def as_carray(x) -> CArray:
+    if isinstance(x, CArray):
+        return x
+    if isinstance(x, jnp.ndarray) and not jnp.iscomplexobj(x):
+        return CArray(x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32))
+    return from_complex(np.asarray(x))
 
 
-def state_fidelity(rho: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
-    """Uhlmann fidelity F(ρ,σ) = (tr √(√ρ σ √ρ))² for density matrices.
+def state_fidelity(rho, sigma) -> jnp.ndarray:
+    """Uhlmann fidelity F(ρ,σ) = (tr √(√ρ σ √ρ))².
 
-    Accepts a statevector (1-D) for either argument, in which case the pure
-    shortcut ⟨ψ|·|ψ⟩ is used.
+    Accepts statevectors (1-D) for either argument — the pure shortcut
+    ⟨ψ|·|ψ⟩ / |⟨ψ|φ⟩|² is used where possible.
     """
+    rho, sigma = as_carray(rho), as_carray(sigma)
     if rho.ndim == 1 and sigma.ndim == 1:
-        ov = jnp.vdot(rho, sigma)
-        return jnp.real(ov * jnp.conj(ov))
+        re = jnp.sum(rho.re * sigma.re + rho.im * sigma.im)
+        im = jnp.sum(rho.re * sigma.im - rho.im * sigma.re)
+        return re * re + im * im
     if rho.ndim == 1:
-        return jnp.real(jnp.vdot(rho, sigma @ rho))
+        return cvdot_real(rho, cmatvec(sigma, rho))
     if sigma.ndim == 1:
-        return jnp.real(jnp.vdot(sigma, rho @ sigma))
-    s = _sqrtm_psd(rho)
-    inner = s @ sigma @ s
-    evals = jnp.linalg.eigvalsh(inner)
-    return jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) ** 2
+        return cvdot_real(sigma, cmatvec(rho, sigma))
+    s = sqrtm_psd(rho)
+    inner = cmatmul(cmatmul(s, sigma), s)
+    # tr √M over the complex spectrum: embedding doubles eigenvalues.
+    evals = jnp.linalg.eigvalsh(embed_hermitian(inner))
+    return (jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) / 2.0) ** 2
 
 
-def purity(rho: jnp.ndarray) -> jnp.ndarray:
-    """tr(ρ²) (cf. reference ``reconstruct.py:70``)."""
-    return jnp.real(jnp.trace(rho @ rho))
+def purity(rho) -> jnp.ndarray:
+    """tr(ρ²) = Σ|ρ_ij|² for Hermitian ρ (reference ``reconstruct.py:70``)."""
+    rho = as_carray(rho)
+    return jnp.sum(rho.abs2())
 
 
-def von_neumann_entropy(rho: jnp.ndarray) -> jnp.ndarray:
+def von_neumann_entropy(rho) -> jnp.ndarray:
     """S(ρ) = -Σ λ log2 λ (qiskit ``entropy`` default base 2)."""
-    evals = jnp.maximum(jnp.linalg.eigvalsh(rho), 0.0)
+    evals = jnp.maximum(ceigvalsh(as_carray(rho)), 0.0)
     logs = jnp.where(evals > 0, jnp.log(jnp.maximum(evals, 1e-38)), 0.0)
     return -jnp.sum(evals * logs) / _LOG2
 
 
-def partial_trace_keep_low(rho: jnp.ndarray, num_keep: int) -> jnp.ndarray:
+def partial_trace_keep_low(rho, num_keep: int) -> CArray:
     """Trace out the high qubits, keeping qubits 0..num_keep-1 (the LSBs).
 
     With the little-endian convention the state index factors as
@@ -62,22 +83,28 @@ def partial_trace_keep_low(rho: jnp.ndarray, num_keep: int) -> jnp.ndarray:
     ``partial_trace(rho, range(cut, n))`` (``reconstruct.py:72-75``) keeps
     exactly these low qubits.
     """
+    rho = as_carray(rho)
     d = rho.shape[-1]
     d_low = 2**num_keep
     d_high = d // d_low
-    r4 = rho.reshape(d_high, d_low, d_high, d_low)
-    return jnp.einsum("aiaj->ij", r4)
+
+    def pt(part):
+        r4 = part.reshape(d_high, d_low, d_high, d_low)
+        return jnp.einsum("aiaj->ij", r4)
+
+    return CArray(pt(rho.re), pt(rho.im))
 
 
-def entanglement_entropy(rho: jnp.ndarray, num_qubits: int) -> jnp.ndarray:
+def entanglement_entropy(rho, num_qubits: int) -> jnp.ndarray:
     """Entropy of the half-cut reduced state (keep qubits 0..N//2-1)."""
     cut = num_qubits // 2
     return von_neumann_entropy(partial_trace_keep_low(rho, cut))
 
 
-def get_metrics(rho: jnp.ndarray, num_qubits: int):
+def get_metrics(rho, num_qubits: int):
     """(purity, von Neumann entropy, entanglement entropy) — reference
     ``get_metrics`` (``reconstruct.py:69-76``)."""
+    rho = as_carray(rho)
     return (
         purity(rho),
         von_neumann_entropy(rho),

@@ -33,6 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ddqst_tpu.ops.complexlib import (
+    CArray,
+    from_complex,
+    project_psd as cl_project_psd,
+)
+
 _SINGLE = np.stack(
     [
         np.array([[1, 0], [0, 1]], dtype=np.complex64),  # I
@@ -161,17 +167,17 @@ def _compat_weights(
     return w, mask_idx
 
 
-def project_psd(rho: jnp.ndarray) -> jnp.ndarray:
+def project_psd(rho: CArray) -> CArray:
     """Clip negative eigenvalues and renormalise the trace to 1.
 
-    Matches ``make_positive_semidefinite`` (``reconstruct.py:51-70``): eigh,
-    clamp eigenvalues at 0, renormalise eigenvalue sum when positive.
+    Matches ``make_positive_semidefinite`` (``reconstruct.py:51-70``) but in
+    the split-real representation (see :mod:`ddqst_tpu.ops.complexlib` — the
+    TPU has no complex lowerings, so the spectral step runs as a real eigh
+    of the 2d x 2d Hermitian embedding).
     """
-    evals, evecs = jnp.linalg.eigh(rho)
-    evals = jnp.maximum(evals, 0.0)
-    total = jnp.sum(evals)
-    evals = jnp.where(total > 0, evals / jnp.where(total > 0, total, 1.0), evals)
-    return (evecs * evals.astype(evecs.dtype)) @ evecs.conj().T
+    if not isinstance(rho, CArray):
+        rho = from_complex(rho)
+    return cl_project_psd(rho)
 
 
 def make_inverter(
@@ -199,21 +205,22 @@ def make_inverter(
     dim = 2**num_qubits
     w = jnp.asarray(w_np)
     mask_idx = jnp.asarray(mask_idx_np)
-    paulis = jnp.asarray(paulis_np)
+    paulis = from_complex(paulis_np)  # split re/im (no complex on TPU)
     identity_row = jnp.asarray(
         (all_pauli_labels(num_qubits) == 0).all(1), dtype=jnp.float32
     )
 
     @jax.jit
-    def invert(bits, weights=None):
+    def invert(bits, weights=None) -> CArray:
         parities = subset_parity_means(bits, weights)  # [B, 2^N]
         selected = parities[:, mask_idx]  # [B, P]
         coeff = jnp.einsum("pb,bp->p", w, selected)
         coeff = coeff * (1.0 - identity_row) + identity_row  # <I..I> == 1
-        rho = (
-            jnp.einsum("p,pij->ij", coeff.astype(jnp.complex64), paulis) / dim
+        rho = CArray(
+            jnp.einsum("p,pij->ij", coeff, paulis.re) / dim,
+            jnp.einsum("p,pij->ij", coeff, paulis.im) / dim,
         )
-        return project_psd(rho) if psd else rho
+        return cl_project_psd(rho) if psd else rho
 
     return invert
 

@@ -68,3 +68,51 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+# --- Tensor (model) parallelism for the transformer denoiser ---------------
+#
+# Megatron-style layout: attention QKV projections and the MLP up-projection
+# shard their *output* features over 'model'; the attention output and MLP
+# down-projection shard their *input* features, so each block needs exactly
+# one all-reduce per sublayer (inserted automatically by XLA from these
+# shardings).
+
+_TP_RULES = (
+    # (path-suffix match, partition spec builder by param ndim)
+    ("attn/query/kernel", lambda nd: P(*([None] * (nd - 2)), MODEL_AXIS, None)),
+    ("attn/key/kernel", lambda nd: P(*([None] * (nd - 2)), MODEL_AXIS, None)),
+    ("attn/value/kernel", lambda nd: P(*([None] * (nd - 2)), MODEL_AXIS, None)),
+    ("attn/out/kernel", lambda nd: P(MODEL_AXIS, *([None] * (nd - 1)))),
+    ("mlp1/kernel", lambda nd: P(*([None] * (nd - 1)), MODEL_AXIS)),
+    ("mlp1/bias", lambda nd: P(MODEL_AXIS)),
+    ("mlp2/kernel", lambda nd: P(MODEL_AXIS, *([None] * (nd - 1)))),
+)
+
+
+def transformer_param_shardings(mesh: Mesh, params):
+    """NamedSharding tree for transformer params: TP over 'model'.
+
+    Non-matching params (embeddings, norms, FiLM, head) replicate.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    out = []
+    for path, leaf in flat:
+        name = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        spec = P()
+        for suffix, builder in _TP_RULES:
+            if name.endswith(suffix):
+                spec = builder(leaf.ndim)
+                break
+        out.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_params(mesh: Mesh, params, shardings=None):
+    """Place params per a sharding tree (default: transformer TP rules)."""
+    if shardings is None:
+        shardings = transformer_param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

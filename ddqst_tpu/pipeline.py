@@ -24,6 +24,7 @@ from ddqst_tpu.models import build_model
 from ddqst_tpu.ops import diffusion as diff
 from ddqst_tpu.ops import metrics as M
 from ddqst_tpu.ops import pauli
+from ddqst_tpu.ops.complexlib import from_complex, to_complex
 from ddqst_tpu.ops.schedules import make_schedule
 from ddqst_tpu.qsim import measure, noise, states
 from ddqst_tpu import train as training
@@ -62,12 +63,12 @@ def generate_training_data(
     else:
         sel = np.arange(len(all_labels))
     labels = all_labels[sel]
-    rots = jnp.asarray(measure.rotation_unitaries(labels))
+    rots = from_complex(measure.rotation_unitaries(labels))
 
     if kind == "pure":
-        probs = measure.batched_probs_pure(jnp.asarray(state)[None], rots)[0]
+        probs = measure.batched_probs_pure(from_complex(state[None]), rots)[0]
     else:
-        probs = measure.batched_probs_mixed(jnp.asarray(state)[None], rots)[0]
+        probs = measure.batched_probs_mixed(from_complex(state[None]), rots)[0]
     probs = noise.apply_readout_to_probs(probs, d.num_qubits, ncfg.readout_p)
     bits = measure.sample_bits(key, probs, d.shots_train, d.num_qubits)
     return GeneratedData(
@@ -128,7 +129,7 @@ def run_experiment(
     )
 
     rho = pauli.linear_inversion(samples, cfg.data.num_qubits)
-    target = jnp.asarray(data.target)
+    target = from_complex(data.target)
     fid = M.state_fidelity(target, rho)
     pur, vn, ent = M.get_metrics(rho, cfg.data.num_qubits)
     zb = M.z_bias(samples[-1])  # last canonical basis is Z...Z
@@ -146,8 +147,8 @@ def run_experiment(
         "ent_entropy": float(ent),
         "z_bias": float(zb),
         "losses": np.asarray(losses),
-        "rho": np.asarray(rho),
-        "rho_raw": np.asarray(rho_raw),
+        "rho": to_complex(rho),
+        "rho_raw": to_complex(rho_raw),
         "target": np.asarray(data.target),
         "state": state,
         "samples": samples,

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ddqst_tpu.ops.complexlib import CArray, ceinsum, from_complex
 from ddqst_tpu.qsim import gates as G
 
 _ROT1 = np.stack([G.H, G.H @ G.SDG, G.I])  # [3, 2, 2]: X, Y, Z
@@ -47,25 +48,42 @@ def rotation_unitaries(basis_labels: np.ndarray) -> np.ndarray:
     return mats
 
 
-def measurement_probs(psi: jnp.ndarray, basis_label) -> jnp.ndarray:
-    """Outcome probabilities of measuring |ψ⟩ in one Pauli basis."""
-    u = jnp.asarray(rotation_unitary(basis_label))
-    phi = u @ psi
-    return jnp.real(phi * jnp.conj(phi))
+def measurement_probs(psi, basis_label) -> jnp.ndarray:
+    """Outcome probabilities of measuring |ψ⟩ in one Pauli basis.
+
+    ``psi`` may be complex (host) or a CArray.
+    """
+    u = from_complex(rotation_unitary(basis_label))
+    if not isinstance(psi, CArray):
+        psi = from_complex(psi)
+    phi = CArray(
+        u.re @ psi.re - u.im @ psi.im, u.re @ psi.im + u.im @ psi.re
+    )
+    return phi.abs2()
 
 
 @jax.jit
-def batched_probs_pure(psis: jnp.ndarray, rots: jnp.ndarray) -> jnp.ndarray:
-    """``[C, d]`` states x ``[B, d, d]`` rotations -> ``[C, B, d]`` probs."""
-    phi = jnp.einsum("bij,cj->cbi", rots, psis)
-    p = jnp.real(phi * jnp.conj(phi))
+def batched_probs_pure(psis: CArray, rots: CArray) -> jnp.ndarray:
+    """``[C, d]`` states x ``[B, d, d]`` rotations -> ``[C, B, d]`` probs.
+
+    Split-real complex matvecs (four real einsums) — see complexlib.
+    """
+    phi = ceinsum("bij,cj->cbi", rots, psis)
+    p = phi.abs2()
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
 @jax.jit
-def batched_probs_mixed(rhos: jnp.ndarray, rots: jnp.ndarray) -> jnp.ndarray:
-    """``[C, d, d]`` density matrices x ``[B, d, d]`` rotations -> ``[C, B, d]``."""
-    p = jnp.real(jnp.einsum("bij,cjk,bik->cbi", rots, rhos, jnp.conj(rots)))
+def batched_probs_mixed(rhos: CArray, rots: CArray) -> jnp.ndarray:
+    """``[C, d, d]`` density matrices x ``[B, d, d]`` rotations -> ``[C, B, d]``.
+
+    diag(U ρ U†)_i = Σ_k (Uρ)_ik conj(U)_ik; only the real part survives on
+    the diagonal of a Hermitian product.
+    """
+    t = ceinsum("bij,cjk->cbik", rots, rhos)  # U ρ
+    p = jnp.einsum("cbik,bik->cbi", t.re, rots.re) + jnp.einsum(
+        "cbik,bik->cbi", t.im, rots.im
+    )
     p = jnp.maximum(p, 0.0)
     return p / jnp.sum(p, axis=-1, keepdims=True)
 

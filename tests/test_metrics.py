@@ -64,10 +64,12 @@ def test_entanglement_entropy_bell():
 
 
 def test_partial_trace_keeps_low_qubits():
+    from ddqst_tpu.ops.complexlib import to_complex
+
     # |0>_q0 ⊗ |+>_q1 : tracing out q1 leaves |0><0|.
     psi = np.kron(np.array([1, 1]) / np.sqrt(2), np.array([1, 0])).astype(np.complex64)
-    red = metrics.partial_trace_keep_low(dm(psi), 1)
-    np.testing.assert_allclose(np.asarray(red), [[1, 0], [0, 0]], atol=1e-6)
+    red = to_complex(metrics.partial_trace_keep_low(dm(psi), 1))
+    np.testing.assert_allclose(red, [[1, 0], [0, 0]], atol=1e-6)
 
 
 def test_z_bias():

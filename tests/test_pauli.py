@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from ddqst_tpu.ops import metrics, pauli
+from ddqst_tpu.ops.complexlib import to_complex
 
 I2 = np.eye(2, dtype=np.complex64)
 X = np.array([[0, 1], [1, 0]], dtype=np.complex64)
@@ -108,14 +109,14 @@ def test_linear_inversion_first_vs_mean_close(rng):
 
 def test_project_psd_properties(rng):
     m = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
-    herm = jnp.asarray((m + m.conj().T) / 2, dtype=jnp.complex64)
-    rho = pauli.project_psd(herm)
-    evals = np.linalg.eigvalsh(np.asarray(rho))
+    herm = (m + m.conj().T) / 2
+    rho = to_complex(pauli.project_psd(herm))
+    evals = np.linalg.eigvalsh(rho)
     assert evals.min() > -1e-6
-    assert np.trace(np.asarray(rho)).real == pytest.approx(1.0, abs=1e-5)
+    assert np.trace(rho).real == pytest.approx(1.0, abs=1e-5)
     # Idempotent (up to float noise).
-    rho2 = pauli.project_psd(rho)
-    np.testing.assert_allclose(np.asarray(rho2), np.asarray(rho), atol=1e-5)
+    rho2 = to_complex(pauli.project_psd(rho))
+    np.testing.assert_allclose(rho2, rho, atol=1e-5)
 
 
 def test_make_inverter_partial_bases(rng):
@@ -127,5 +128,5 @@ def test_make_inverter_partial_bases(rng):
     bits_full = _perfect_samples_for_state(psi, 3, shots=8000, rng=rng)
     inv = pauli.make_inverter(3, basis_labels=labels[sel])
     rho = inv(bits_full[jnp.asarray(sel)])
-    assert np.trace(np.asarray(rho)).real == pytest.approx(1.0, abs=1e-5)
+    assert np.trace(to_complex(rho)).real == pytest.approx(1.0, abs=1e-5)
     assert float(metrics.state_fidelity(jnp.asarray(psi), rho)) > 0.5

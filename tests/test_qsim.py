@@ -85,15 +85,14 @@ def test_bell_zz_correlations(key):
 
 
 def test_batched_probs_pure_matches_single():
-    psis = jnp.stack(
-        [jnp.asarray(states.bell_state()), jnp.asarray(states.plus_state(2))]
-    )
+    from ddqst_tpu.ops.complexlib import from_complex
     from ddqst_tpu.ops.pauli import all_basis_labels
 
-    rots = jnp.asarray(measure.rotation_unitaries(all_basis_labels(2)))
+    psis = from_complex(np.stack([states.bell_state(), states.plus_state(2)]))
+    rots = from_complex(measure.rotation_unitaries(all_basis_labels(2)))
     probs = measure.batched_probs_pure(psis, rots)
     assert probs.shape == (2, 9, 4)
-    single = measure.measurement_probs(psis[0], (2, 2))
+    single = measure.measurement_probs(states.bell_state(), (2, 2))
     np.testing.assert_allclose(np.asarray(probs[0, 8]), np.asarray(single), atol=1e-6)
 
 
@@ -162,12 +161,13 @@ def test_ideal_noise_is_pure():
 
 
 def test_mixed_probs_match_pure_when_ideal():
+    from ddqst_tpu.ops.complexlib import from_complex
+    from ddqst_tpu.ops.pauli import all_basis_labels
+
     c = states.prep_circuit("bell", 2)
     psi = states.circuit_statevector(c)
     rho = np.outer(psi, psi.conj())
-    from ddqst_tpu.ops.pauli import all_basis_labels
-
-    rots = jnp.asarray(measure.rotation_unitaries(all_basis_labels(2)))
-    p_pure = measure.batched_probs_pure(jnp.asarray(psi)[None], rots)
-    p_mixed = measure.batched_probs_mixed(jnp.asarray(rho)[None], rots)
+    rots = from_complex(measure.rotation_unitaries(all_basis_labels(2)))
+    p_pure = measure.batched_probs_pure(from_complex(psi[None]), rots)
+    p_mixed = measure.batched_probs_mixed(from_complex(rho[None]), rots)
     np.testing.assert_allclose(np.asarray(p_pure), np.asarray(p_mixed), atol=1e-5)
