@@ -53,16 +53,19 @@ def main() -> None:
     basis = jnp.asarray(rng.integers(0, 3**n, (m,)), jnp.int32)
     state = training.create_state(key, model, cfg.train, n)
 
-    # Warmup (compile) then timed epochs.
-    state, _ = training._run_epoch(state, key, bits, basis, schedule, batch)
-    jax.block_until_ready(state.params)
+    # NOTE on timing: through this environment's TPU relay,
+    # block_until_ready can return before remote compilation/execution
+    # completes; every measurement therefore warms up AND times with a
+    # scalar materialisation (float(...)), which is reliable.
+    state, loss = training._run_epoch(state, key, bits, basis, schedule, batch)
+    _ = float(loss)  # warm: forces compile + one full epoch
     n_epochs = 5
     t0 = time.perf_counter()
     for e in range(n_epochs):
         state, loss = training._run_epoch(
             state, jax.random.fold_in(key, e), bits, basis, schedule, batch
         )
-    jax.block_until_ready(state.params)
+    _ = float(loss)
     dt = time.perf_counter() - t0
     train_steps_per_sec = steps_per_epoch * n_epochs / dt
 
@@ -70,10 +73,10 @@ def main() -> None:
     shots = 5000  # per basis, 27 bases -> 135k bitstrings per call
     args = (state.apply_fn, {"params": state.params}, n, shots, schedule)
     out = diff.sample_all_bases(jax.random.fold_in(key, 100), *args)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))  # warm
     t0 = time.perf_counter()
     out = diff.sample_all_bases(jax.random.fold_in(key, 101), *args)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))
     dt = time.perf_counter() - t0
     sampled_per_sec = (3**n) * shots / dt
 
