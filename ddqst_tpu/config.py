@@ -33,6 +33,11 @@ class DiffusionConfig:
     # default (linear->renoise, cosine->exact posterior); 'renoise' is the
     # quality path (see ops.diffusion.p_sample docstring).
     sampler: str = "auto"  # 'auto' | 'exact' | 'renoise'
+    # Inference mode: 'generate' starts the reverse chain from uniform noise
+    # (reference behaviour); 'denoise' starts from the *measured* shots at a
+    # timestep matched to the readout flip rate — explicit readout-channel
+    # inversion (see ops.diffusion.p_denoise).
+    infer_mode: str = "generate"  # 'generate' | 'denoise'
 
     @property
     def exact(self) -> bool | None:
@@ -44,6 +49,11 @@ class TrainConfig:
     batch_size: int = 256
     learning_rate: float = 1e-4
     optimizer: str = "adamw"  # 'adamw' (phases 2-3) | 'adam' (phase 4)
+    lr_schedule: str = "constant"  # 'constant' (reference) | 'cosine'
+    t_max: int = 0  # restrict training timesteps to [1, t_max]; 0 = full T
+    # Per-epoch exponential moving average of params (0 = off). The final
+    # state carries the EMA params - cuts late-training estimation noise.
+    ema_decay: float = 0.0
     num_epochs: int = 300
     seed: int = 0
     eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)
@@ -63,6 +73,12 @@ class DataConfig:
     shots_infer: int = 10000
     rqc_depth: int = 5
     max_bases: int = 0  # 0 = all 3^N; >0 = shadow cap (builders use 50/100)
+    # Closed-form readout error mitigation in the parity domain during
+    # reconstruction (beyond-reference capability; see pauli.make_inverter).
+    mitigate_readout: bool = False
+    # Density-matrix estimator: 'linear' (reference parity) | 'mle'
+    # (iterative RrhoR with noise-aware POVM; see ops.mle).
+    reconstruction: str = "linear"
 
 
 @dataclasses.dataclass(frozen=True)

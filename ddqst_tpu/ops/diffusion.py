@@ -57,16 +57,20 @@ def denoising_loss(
     x0: jnp.ndarray,
     basis: jnp.ndarray,
     schedule: DiffusionSchedule,
+    t_max: int = 0,
 ) -> jnp.ndarray:
     """Cross-entropy between predicted x0 logits and true x0.
 
     Reference training step (``multi_qubit_any_state/main.py:133-140``):
     t ~ U[1, T], x_t = q_sample(x_0, t), CE(model(x_t, t, basis), x_0).
+
+    ``t_max`` (0 = full range T) restricts the sampled timesteps — used by
+    the denoise-mode quality path to focus capacity on the small-t regime
+    the readout-inversion chain actually visits.
     """
     kt, kq = jax.random.split(key)
-    t = jax.random.randint(
-        kt, (x0.shape[0],), 1, schedule.num_timesteps + 1
-    )
+    upper = t_max if t_max else schedule.num_timesteps
+    t = jax.random.randint(kt, (x0.shape[0],), 1, upper + 1)
     x_t = q_sample(kq, x0, t, schedule)
     logits = denoise_fn(x_t, t, basis)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -157,6 +161,97 @@ def p_sample(
 
     x0, _ = jax.lax.scan(step, x_t, ts)
     return x0
+
+
+def p_denoise(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    noisy_bits: jnp.ndarray,
+    basis: jnp.ndarray,
+    t_star: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """Denoise *measured* bitstrings by reverse diffusion from t*.
+
+    The forward process is a symmetric bit-flip channel — exactly the model
+    of quantum readout error (the reference's design premise, README.md:43-52
+    and the 'readout' noise model, ``data_gen.py:42-45``). So instead of
+    generating from pure noise (t = T), treat each measured shot as x_{t*}
+    where ``cum_flip[t*]`` matches the physical readout flip rate, and run
+    the reverse chain t*..1. This *explicitly inverts* the readout channel
+    per shot — a capability the reference's sampler does not have (it always
+    starts from uniform noise, ``diffusion.py:55-58``).
+
+    Args:
+      noisy_bits: ``[B, N]`` measured bits (one row per shot to denoise).
+      basis: ``[B]`` basis indices (or ``[B, N]`` labels) for each row.
+      t_star: starting timestep; choose ``t_star = argmin |cum_flip[t] - p|``
+        for readout flip prob p (see :func:`match_timestep`).
+
+    Returns:
+      ``[B, N]`` int8 denoised samples of x_0.
+    """
+    if exact is None:
+        exact = schedule.exact_posterior
+    num = basis.shape[0]
+    ts = jnp.arange(t_star, 0, -1)
+    x_t = noisy_bits.astype(jnp.int8)
+
+    def step(x, t):
+        kt = jax.random.fold_in(key, t)
+        t_vec = jnp.full((num,), t, dtype=jnp.int32)
+        logits = denoise_fn(x, t_vec, basis)
+        if exact:
+            p1 = _posterior_p1(
+                logits, x, schedule.betas[t], schedule.cum_flip[t - 1]
+            )
+            x_next = (jax.random.uniform(kt, p1.shape) < p1).astype(jnp.int8)
+        else:
+            k0, kn = jax.random.split(kt)
+            p1_hat = jax.nn.softmax(logits, axis=-1)[..., 1]
+            x0_hat = (jax.random.uniform(k0, p1_hat.shape) < p1_hat).astype(
+                jnp.int8
+            )
+            flip_p = jnp.where(t > 1, schedule.cum_flip[t - 1], 0.0)
+            flips = jax.random.bernoulli(kn, flip_p, x0_hat.shape)
+            x_next = jnp.bitwise_xor(x0_hat, flips.astype(jnp.int8))
+        return x_next, None
+
+    x0, _ = jax.lax.scan(step, x_t, ts)
+    return x0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "t_star", "exact")
+)
+def denoise_dataset(
+    key: jax.Array,
+    apply_fn,
+    params,
+    noisy_bits: jnp.ndarray,
+    basis: jnp.ndarray,
+    t_star: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """Jitted :func:`p_denoise` over a flat ``[M, N]`` dataset."""
+
+    def denoise_fn(x, t, b):
+        return apply_fn(params, x, t, b)
+
+    return p_denoise(
+        key, denoise_fn, noisy_bits, basis, t_star, schedule, exact=exact
+    )
+
+
+def match_timestep(schedule: DiffusionSchedule, flip_prob: float) -> int:
+    """Smallest t with cum_flip[t] >= flip_prob (clamped to [1, T])."""
+    import numpy as np
+
+    cf = np.asarray(schedule.cum_flip)
+    idx = int(np.searchsorted(cf, flip_prob))
+    return max(1, min(idx, schedule.num_timesteps))
 
 
 @functools.partial(

@@ -185,6 +185,7 @@ def make_inverter(
     basis_labels: np.ndarray | None = None,
     compat_mode: str = "mean",
     psd: bool = True,
+    readout_p: float = 0.0,
 ):
     """Build a jitted linear-inversion function for a fixed basis set.
 
@@ -194,13 +195,25 @@ def make_inverter(
         row order of the ``bits`` argument. Defaults to all 3^N canonical.
       compat_mode: ``"mean"`` or ``"first"`` (see module docstring).
       psd: project onto the PSD cone and renormalise (reference always does).
+      readout_p: symmetric per-qubit readout flip probability to *mitigate*.
+        A symmetric flip channel scales every k-qubit parity by (1-2p)^k, so
+        the unbiased clean estimator is the measured parity divided by
+        (1-2p)^|mask| — closed-form readout error mitigation in the parity
+        domain (a capability beyond the reference, which reconstructs from
+        raw noisy parities; 0 disables it).
 
     Returns:
-      ``invert(bits [B, S, N], weights=None) -> rho [d, d] complex64``.
+      ``invert(bits [B, S, N], weights=None) -> rho`` as a split-real
+      :class:`~ddqst_tpu.ops.complexlib.CArray`.
     """
     if basis_labels is None:
         basis_labels = all_basis_labels(num_qubits)
     w_np, mask_idx_np = _compat_weights(num_qubits, basis_labels, compat_mode)
+    if readout_p > 0:
+        mask_sizes = np.asarray(
+            (all_pauli_labels(num_qubits) != 0).sum(axis=1), np.float32
+        )
+        w_np = w_np * ((1.0 - 2.0 * readout_p) ** -mask_sizes)[:, None]
     paulis_np = pauli_matrices(all_pauli_labels(num_qubits))  # [P, d, d]
     dim = 2**num_qubits
     w = jnp.asarray(w_np)

@@ -23,6 +23,7 @@ from ddqst_tpu.config import ExperimentConfig
 from ddqst_tpu.models import build_model
 from ddqst_tpu.ops import diffusion as diff
 from ddqst_tpu.ops import metrics as M
+from ddqst_tpu.ops import mle
 from ddqst_tpu.ops import pauli
 from ddqst_tpu.ops.complexlib import from_complex, to_complex
 from ddqst_tpu.ops.schedules import make_schedule
@@ -121,27 +122,88 @@ def run_experiment(
         k_train, model, x, basis, cfg.train, schedule, mesh=mesh, log_fn=log_fn
     )
 
-    log_fn(f"[{cfg.name}] sampling {cfg.data.shots_infer}/basis")
-    samples = diff.sample_all_bases(
-        k_sample, state.apply_fn, {"params": state.params},
-        cfg.data.num_qubits, cfg.data.shots_infer, schedule,
-        exact=cfg.diffusion.exact,
-    )
+    if cfg.diffusion.infer_mode == "denoise":
+        # Explicit readout-channel inversion: reverse-diffuse the measured
+        # shots from t* matched to the readout flip rate (p_denoise).
+        ncfg = noise.get_noise_config(cfg.data.noise_type)
+        t_star = diff.match_timestep(schedule, max(ncfg.readout_p, 0.01))
+        reps = max(-(-cfg.data.shots_infer // cfg.data.shots_train), 1)
+        log_fn(
+            f"[{cfg.name}] denoising measured shots x{reps} from t*={t_star}"
+        )
+        b_bases, s, n = data.bits.shape
+        flat_bits = jnp.tile(data.bits.reshape(b_bases * s, n), (reps, 1))
+        flat_basis = jnp.tile(
+            jnp.repeat(jnp.asarray(data.basis_idx, jnp.int32), s), (reps,)
+        )
+        out = diff.denoise_dataset(
+            k_sample, state.apply_fn, {"params": state.params},
+            flat_bits, flat_basis, t_star, schedule,
+            exact=cfg.diffusion.exact,
+        )
+        samples = (
+            out.reshape(reps, b_bases, s, n)
+            .transpose(1, 0, 2, 3)
+            .reshape(b_bases, reps * s, n)
+        )
+    else:
+        log_fn(f"[{cfg.name}] sampling {cfg.data.shots_infer}/basis")
+        samples = diff.sample_all_bases(
+            k_sample, state.apply_fn, {"params": state.params},
+            cfg.data.num_qubits, cfg.data.shots_infer, schedule,
+            exact=cfg.diffusion.exact,
+        )
 
-    rho = pauli.linear_inversion(samples, cfg.data.num_qubits)
+    mit_p = 0.0
+    if cfg.data.mitigate_readout:
+        mit_p = noise.get_noise_config(cfg.data.noise_type).readout_p
+    denoised = cfg.diffusion.infer_mode == "denoise"
+    # In denoise mode the reverse chain already inverted the readout channel,
+    # so downstream estimators treat the samples as clean (p = 0).
+    sample_p = 0.0 if denoised else mit_p
+    labels = data.basis_labels if denoised else None
+
+    def reconstruct(bits, p):
+        if cfg.data.reconstruction == "mle":
+            rec = mle.make_mle(cfg.data.num_qubits, labels, readout_p=p)
+            return rec(mle.bits_to_counts(bits))
+        return pauli.make_inverter(
+            cfg.data.num_qubits, labels, readout_p=p
+        )(bits)
+
+    rho = reconstruct(samples, sample_p)
+    if denoised:
+        zz_rows = np.nonzero((data.basis_labels == 2).all(axis=1))[0]
+        zb = M.z_bias(samples[int(zz_rows[0])]) if len(zz_rows) else jnp.float32(0.5)
+    else:
+        zb = M.z_bias(samples[-1])  # last canonical basis is Z...Z
     target = from_complex(data.target)
     fid = M.state_fidelity(target, rho)
     pur, vn, ent = M.get_metrics(rho, cfg.data.num_qubits)
-    zb = M.z_bias(samples[-1])  # last canonical basis is Z...Z
 
-    # Baseline: inversion on the raw (noisy) training shots.
-    inv = pauli.make_inverter(cfg.data.num_qubits, data.basis_labels)
-    rho_raw = inv(data.bits)
+    # Baseline: inversion on the raw (noisy) training shots — unmitigated
+    # linear inversion (reference parity, ``multi_qubit_special_states/
+    # main.py:136-164``) plus the configured estimator when it differs.
+    inv_raw = pauli.make_inverter(cfg.data.num_qubits, data.basis_labels)
+    rho_raw = inv_raw(data.bits)
     fid_raw = M.state_fidelity(target, rho_raw)
+    fid_raw_mit = None
+    if mit_p > 0 or cfg.data.reconstruction != "linear":
+        if cfg.data.reconstruction == "mle":
+            rec = mle.make_mle(
+                cfg.data.num_qubits, data.basis_labels, readout_p=mit_p
+            )
+            rho_raw_best = rec(mle.bits_to_counts(data.bits))
+        else:
+            rho_raw_best = pauli.make_inverter(
+                cfg.data.num_qubits, data.basis_labels, readout_p=mit_p
+            )(data.bits)
+        fid_raw_mit = float(M.state_fidelity(target, rho_raw_best))
 
     results = {
         "fidelity": float(fid),
         "raw_fidelity": float(fid_raw),
+        "raw_fidelity_mitigated": fid_raw_mit,
         "purity": float(pur),
         "vn_entropy": float(vn),
         "ent_entropy": float(ent),

@@ -38,41 +38,55 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: TrainConfig, total_steps: int | None = None
+) -> optax.GradientTransformation:
+    if cfg.lr_schedule == "cosine" and total_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=max(total_steps // 20, 1),
+            decay_steps=total_steps,
+            end_value=cfg.learning_rate * 0.02,
+        )
+    else:
+        lr = cfg.learning_rate
     if cfg.optimizer == "adamw":
-        return optax.adamw(cfg.learning_rate)
+        return optax.adamw(lr)
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.learning_rate)
+        return optax.adam(lr)
     if cfg.optimizer == "sgd":
-        return optax.sgd(cfg.learning_rate)
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
 def create_state(
-    key: jax.Array, model, cfg: TrainConfig, num_qubits: int
+    key: jax.Array, model, cfg: TrainConfig, num_qubits: int,
+    total_steps: int | None = None,
 ) -> TrainState:
     dummy_x = jnp.zeros((2, num_qubits), dtype=jnp.int8)
     dummy_t = jnp.ones((2,), dtype=jnp.int32)
     dummy_b = jnp.zeros((2,), dtype=jnp.int32)
     params = model.init(key, dummy_x, dummy_t, dummy_b)["params"]
     return TrainState.create(
-        apply_fn=model.apply, params=params, tx=make_optimizer(cfg)
+        apply_fn=model.apply, params=params,
+        tx=make_optimizer(cfg, total_steps),
     )
 
 
-def loss_for_params(apply_fn, params, key, bits, basis, schedule):
+def loss_for_params(apply_fn, params, key, bits, basis, schedule, t_max=0):
     def denoise_fn(x, t, b):
         return apply_fn({"params": params}, x, t, b)
 
-    return denoising_loss(key, denoise_fn, bits, basis, schedule)
+    return denoising_loss(key, denoise_fn, bits, basis, schedule, t_max=t_max)
 
 
-def make_train_step(schedule: DiffusionSchedule) -> Callable:
+def make_train_step(schedule: DiffusionSchedule, t_max: int = 0) -> Callable:
     """One gradient step; jit happens at the epoch level."""
 
     def step(state: TrainState, key, bits, basis):
         loss, grads = jax.value_and_grad(loss_for_params, argnums=1)(
-            state.apply_fn, state.params, key, bits, basis, schedule
+            state.apply_fn, state.params, key, bits, basis, schedule, t_max
         )
         return state.apply_gradients(grads=grads), loss
 
@@ -81,7 +95,7 @@ def make_train_step(schedule: DiffusionSchedule) -> Callable:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("batch_size", "batch_sharding"),
+    static_argnames=("batch_size", "batch_sharding", "t_max"),
     donate_argnums=(0,),
 )
 def _run_epoch(
@@ -92,6 +106,7 @@ def _run_epoch(
     schedule: DiffusionSchedule,
     batch_size: int,
     batch_sharding=None,
+    t_max: int = 0,
 ):
     """One epoch: shuffle, split into full batches, scan gradient steps.
 
@@ -105,7 +120,7 @@ def _run_epoch(
     usable = steps * batch_size
     kp, ks = jax.random.split(epoch_key)
     perm = jax.random.permutation(kp, m)[:usable].reshape(steps, batch_size)
-    step_fn = make_train_step(schedule)
+    step_fn = make_train_step(schedule, t_max)
 
     def body(st, inp):
         idx, i = inp
@@ -176,7 +191,11 @@ def fit(
     params are replicated — XLA inserts the gradient all-reduce.
     """
     k_init, k_train = jax.random.split(key)
-    state = create_state(k_init, model, cfg, bits.shape[-1])
+    steps_per_epoch = max(bits.shape[0] // cfg.batch_size, 1)
+    state = create_state(
+        k_init, model, cfg, bits.shape[-1],
+        total_steps=steps_per_epoch * cfg.num_epochs,
+    )
     bits = jnp.asarray(bits, dtype=jnp.int8)
     basis = jnp.asarray(basis, dtype=jnp.int32)
     batch_sharding = None
@@ -189,13 +208,29 @@ def fit(
         batch_sharding = data_sharding(mesh, 2)
 
     losses = []
+    ema_params = None
+    ema_update = None
+    if cfg.ema_decay > 0:
+        d = cfg.ema_decay
+        ema_update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: d * a + (1.0 - d) * b, e, p
+            )
+        )
     t_start = time.perf_counter()
     for epoch in range(cfg.num_epochs):
         ek = jax.random.fold_in(k_train, epoch)
         state, loss = _run_epoch(
             state, ek, bits, basis, schedule, cfg.batch_size,
-            batch_sharding=batch_sharding,
+            batch_sharding=batch_sharding, t_max=cfg.t_max,
         )
+        if ema_update is not None:
+            # First epoch: seed the EMA with a fresh copy (state is donated
+            # back into _run_epoch, so aliasing its buffers would dangle).
+            ema_params = ema_update(
+                state.params if ema_params is None else ema_params,
+                state.params,
+            )
         losses.append(loss)
         if cfg.log_every and (epoch + 1) % cfg.log_every == 0:
             log_fn(
@@ -218,6 +253,8 @@ def fit(
                 from ddqst_tpu.utils.checkpoint import save_checkpoint
 
                 save_checkpoint(cfg.checkpoint_dir, state, epoch + 1)
+    if ema_params is not None:
+        state = state.replace(params=ema_params)
     if cfg.checkpoint_dir:
         from ddqst_tpu.utils.checkpoint import save_checkpoint
 

@@ -1,0 +1,99 @@
+"""MLE reconstruction tests: exact recovery, noise-aware POVM, counts."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddqst_tpu.ops import metrics as M
+from ddqst_tpu.ops import mle, pauli
+from ddqst_tpu.qsim import measure, states
+from ddqst_tpu.ops.complexlib import from_complex
+
+
+def _exact_counts(psi, num_qubits, shots, readout_p=0.0):
+    """Expected counts (probs * shots) for every canonical basis."""
+    from ddqst_tpu.qsim.noise import apply_readout_to_probs
+
+    labels = pauli.all_basis_labels(num_qubits)
+    rots = from_complex(measure.rotation_unitaries(labels))
+    probs = measure.batched_probs_pure(from_complex(psi[None]), rots)[0]
+    probs = apply_readout_to_probs(probs, num_qubits, readout_p)
+    return probs * shots
+
+
+def test_bits_to_counts():
+    bits = jnp.asarray(
+        [[[0, 0], [1, 1], [1, 0], [0, 0]]]
+    )  # outcomes 0, 3, 1, 0
+    counts = mle.bits_to_counts(bits)
+    np.testing.assert_array_equal(np.asarray(counts[0]), [2, 1, 0, 1])
+
+
+@pytest.mark.parametrize("state_fn,n", [(states.bell_state, 2),
+                                        (lambda: states.ghz_state(3), 3)])
+def test_mle_recovers_pure_state_exact_counts(state_fn, n):
+    psi = state_fn()
+    counts = _exact_counts(psi, n, shots=100000)
+    rec = mle.make_mle(n, iterations=400)
+    rho = rec(counts)
+    assert float(M.state_fidelity(psi, rho)) > 0.999
+
+
+def test_mle_noise_aware_beats_naive():
+    """With readout noise in the counts, the confusion-aware POVM recovers
+    the clean state; the naive POVM keeps the bias."""
+    psi = states.ghz_state(3)
+    p = 0.02
+    counts = _exact_counts(psi, 3, shots=100000, readout_p=p)
+    fid_naive = float(M.state_fidelity(psi, mle.make_mle(3)(counts)))
+    fid_aware = float(
+        M.state_fidelity(psi, mle.make_mle(3, readout_p=p)(counts))
+    )
+    assert fid_aware > 0.995
+    assert fid_aware > fid_naive + 0.01
+
+
+def test_mle_valid_density_matrix(rng):
+    counts = jnp.asarray(rng.integers(1, 100, size=(9, 4)).astype(np.float32))
+    rho = mle.make_mle(2, iterations=200)(counts)
+    from ddqst_tpu.ops.complexlib import to_complex
+
+    r = to_complex(rho)
+    assert np.trace(r).real == pytest.approx(1.0, abs=1e-4)
+    assert np.linalg.eigvalsh(r).min() > -1e-5
+    np.testing.assert_allclose(r, r.conj().T, atol=1e-5)
+
+
+def test_mle_partial_basis_set(rng):
+    # MLE works from a shadow subset of bases too.
+    psi = states.ghz_state(3)
+    labels = pauli.all_basis_labels(3)
+    sel = np.sort(rng.choice(len(labels), size=15, replace=False))
+    counts = _exact_counts(psi, 3, shots=100000)[jnp.asarray(sel)]
+    rec = mle.make_mle(3, basis_labels=labels[sel], iterations=400)
+    rho = rec(counts)
+    assert float(M.state_fidelity(psi, rho)) > 0.9
+
+
+def test_readout_mitigated_linear_inversion(rng):
+    """Parity-domain mitigation: clean parities = measured / (1-2p)^k."""
+    psi = states.bell_state()
+    p = 0.05
+    # Sample many noisy shots from the analytically noisy distribution.
+    from ddqst_tpu.qsim.noise import apply_readout_to_probs
+
+    labels = pauli.all_basis_labels(2)
+    rots = from_complex(measure.rotation_unitaries(labels))
+    probs = measure.batched_probs_pure(from_complex(psi[None]), rots)[0]
+    noisy = np.asarray(apply_readout_to_probs(probs, 2, p), dtype=np.float64)
+    bits = []
+    for b in range(9):
+        idx = rng.choice(4, size=50000, p=noisy[b] / noisy[b].sum())
+        bits.append((idx[:, None] >> np.arange(2)) & 1)
+    bits = jnp.asarray(np.stack(bits))
+    fid_plain = float(M.state_fidelity(psi, pauli.make_inverter(2)(bits)))
+    fid_mit = float(
+        M.state_fidelity(psi, pauli.make_inverter(2, readout_p=p)(bits))
+    )
+    assert fid_mit > fid_plain
+    assert fid_mit > 0.99
