@@ -91,6 +91,90 @@ def flatten_for_training(
     return x, basis
 
 
+def create_sanity_records(num_qubits: int):
+    """Synthetic Bell-correlation dataset for the sanity/memorization check.
+
+    Mirrors ``RQC_dataset_building_phase/main.py:38-59``: 500x'00..0' +
+    500x'11..1' counts in the Z basis only.
+    """
+    from ddqst_tpu.data.records import CircuitRecord
+
+    d = 2**num_qubits
+    counts = np.zeros((1, d), np.int32)
+    counts[0, 0] = 500
+    counts[0, d - 1] = 500
+    target = np.zeros(d, np.complex64)
+    target[0] = target[-1] = 1 / np.sqrt(2)
+    return [
+        CircuitRecord(
+            id=0,
+            hash="sanity",
+            depth=0,
+            clean_state=target,
+            basis_labels=np.full((1, num_qubits), 2, np.int8),  # Z...Z
+            counts=counts,
+        )
+    ]
+
+
+def train_on_dataset(
+    cfg: ExperimentConfig,
+    records,
+    save_dir: str = "",
+    run_name: str = "model",
+    train_ratio: float = 1.0,
+    num_eval_circuits: int = 50,
+    seed: int = 0,
+    log_fn: Callable = print,
+):
+    """Phase-4 style training on a prebuilt circuit dataset.
+
+    Mirrors ``RQC_dataset_building_phase/main.py:61-133``: shuffle circuits,
+    keep ``train_ratio``, eval on the first ``num_eval_circuits`` *training*
+    circuits (deliberate memorization protocol, comment at ``main.py:77``),
+    save the eval subset and the trained params.
+
+    Returns (train_state, eval_records).
+    """
+    import os
+
+    from ddqst_tpu.data.loader import dataset_to_training_arrays
+    from ddqst_tpu.data.records import save_shard
+
+    rng = np.random.default_rng(seed)
+    records = list(records)
+    rng.shuffle(records)
+    num_train = max(int(len(records) * train_ratio), 1)
+    training_recs = records[:num_train]
+    eval_recs = training_recs[: max(1, num_eval_circuits)]
+
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        save_shard(
+            os.path.join(save_dir, f"{run_name}_eval.npz"), eval_recs
+        )
+
+    arrays = dataset_to_training_arrays(training_recs, mode="unroll")
+    eval_arrays = dataset_to_training_arrays(eval_recs, mode="unroll")
+    log_fn(f"training on {arrays['bits'].shape[0]} shots "
+           f"({len(training_recs)} circuits)")
+
+    schedule = make_schedule(cfg.diffusion.schedule, cfg.diffusion.num_timesteps)
+    model = build_model(cfg.model, cfg.data.num_qubits, cfg.diffusion.num_timesteps)
+    state, losses = training.fit(
+        jax.random.key(seed), model, arrays["bits"], arrays["basis_idx"],
+        cfg.train, schedule,
+        eval_bits=eval_arrays["bits"], eval_basis=eval_arrays["basis_idx"],
+        log_fn=log_fn,
+    )
+    if save_dir:
+        from ddqst_tpu.utils.checkpoint import save_params
+
+        save_params(os.path.join(save_dir, f"{run_name}_params"), state.params)
+        log_fn(f"saved params to {save_dir}/{run_name}_params")
+    return state, eval_recs
+
+
 def run_experiment(
     cfg: ExperimentConfig,
     seed: int = 0,

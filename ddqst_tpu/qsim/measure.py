@@ -88,6 +88,30 @@ def batched_probs_mixed(rhos: CArray, rots: CArray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+@jax.jit
+def batched_probs_pure_per_circuit(psis: CArray, rots: CArray) -> jnp.ndarray:
+    """``[C, d]`` states x per-circuit ``[C, B, d, d]`` rotations -> ``[C, B, d]``.
+
+    Shadow-sampled datasets draw a different random basis set per circuit
+    (reference ``build_dataset.py:79-83``); this variant rotates each state
+    by its own basis stack.
+    """
+    phi = ceinsum("cbij,cj->cbi", rots, psis)
+    p = phi.abs2()
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+@jax.jit
+def batched_probs_mixed_per_circuit(rhos: CArray, rots: CArray) -> jnp.ndarray:
+    """``[C, d, d]`` density matrices x ``[C, B, d, d]`` rotations."""
+    t = ceinsum("cbij,cjk->cbik", rots, rhos)
+    p = jnp.einsum("cbik,cbik->cbi", t.re, rots.re) + jnp.einsum(
+        "cbik,cbik->cbi", t.im, rots.im
+    )
+    p = jnp.maximum(p, 0.0)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _num_bits(d: int) -> int:
     return int(d - 1).bit_length()
 
