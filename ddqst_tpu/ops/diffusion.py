@@ -254,8 +254,95 @@ def match_timestep(schedule: DiffusionSchedule, flip_prob: float) -> int:
     return max(1, min(idx, schedule.num_timesteps))
 
 
+def _grid_p1_table(
+    logits: jnp.ndarray,
+    x_bits: jnp.ndarray,
+    t: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    exact: bool,
+) -> jnp.ndarray:
+    """P(x_{t-1}=1) per grid row for either reverse rule.
+
+    For the renoise rule the two-stage draw (x̂0 ~ Bern(p̂1), then XOR
+    Bern(f)) has per-bit marginal p̂1(1-f) + (1-p̂1)f — bits are independent
+    given the row, so the single-Bernoulli form is exactly equivalent in
+    distribution.
+    """
+    if exact:
+        return _posterior_p1(
+            logits, x_bits, schedule.betas[t], schedule.cum_flip[t - 1]
+        )
+    p1_hat = jax.nn.softmax(logits, axis=-1)[..., 1]
+    f = jnp.where(t > 1, schedule.cum_flip[t - 1], 0.0)
+    return p1_hat * (1.0 - f) + (1.0 - p1_hat) * f
+
+
+def p_sample_grid(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    basis: jnp.ndarray,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+    step_impl=None,
+) -> jnp.ndarray:
+    """Reverse diffusion via exhaustive-grid evaluation (small N).
+
+    TPU-first optimisation impossible in the reference's architecture: a
+    scan step's denoiser output depends only on (x_t, basis, t), and at
+    small N there are just 2^N x 3^N distinct inputs (216 at N=3). Each
+    step therefore runs the network once over the full grid and advances
+    every chain by a table lookup + independent Bernoulli draws — O(6^N)
+    model FLOPs per step instead of O(num_chains), a >600x compute cut for
+    the reference's 27x10,000-sample inference run (``main.py:150-159``).
+
+    ``step_impl(key, table [G, N], rows [B], powers) -> new_x_idx [B]``
+    optionally overrides the chain-update (e.g. the fused Pallas kernel).
+    """
+    if exact is None:
+        exact = schedule.exact_posterior
+    num_bases = 3**num_qubits
+    g = 2**num_qubits
+    num = basis.shape[0]
+    powers = 2 ** jnp.arange(num_qubits, dtype=jnp.int32)
+
+    # Grid enumeration: row = basis_idx * 2^N + x_index.
+    x_enum = (
+        (jnp.arange(g, dtype=jnp.int32)[:, None] >> jnp.arange(num_qubits))
+        & 1
+    ).astype(jnp.int8)  # [2^N, N]
+    grid_x = jnp.tile(x_enum, (num_bases, 1))  # [G, N]
+    grid_basis = jnp.repeat(
+        jnp.arange(num_bases, dtype=jnp.int32), g
+    )  # [G]
+
+    k_init, k_scan = jax.random.split(key)
+    x_idx = jax.random.randint(k_init, (num,), 0, g, dtype=jnp.int32)
+    ts = jnp.arange(schedule.num_timesteps, 0, -1)
+
+    def step(x_idx, t):
+        kt = jax.random.fold_in(k_scan, t)
+        t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
+        logits = denoise_fn(grid_x, t_vec, grid_basis)  # [G, N, 2]
+        table = _grid_p1_table(logits, grid_x, t, schedule, exact)  # [G, N]
+        rows = basis * g + x_idx
+        if step_impl is not None:
+            new_idx = step_impl(kt, table, rows, powers)
+        else:
+            p1 = table[rows]  # [B, N]
+            bits = (jax.random.uniform(kt, p1.shape) < p1).astype(jnp.int32)
+            new_idx = jnp.sum(bits * powers, axis=-1)
+        return new_idx, None
+
+    x_idx, _ = jax.lax.scan(step, x_idx, ts)
+    return (
+        ((x_idx[:, None] >> jnp.arange(num_qubits)) & 1).astype(jnp.int8)
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("apply_fn", "num_qubits", "shots", "exact")
+    jax.jit,
+    static_argnames=("apply_fn", "num_qubits", "shots", "exact", "grid_mode"),
 )
 def sample_all_bases(
     key: jax.Array,
@@ -265,12 +352,16 @@ def sample_all_bases(
     shots: int,
     schedule: DiffusionSchedule,
     exact: bool | None = None,
+    grid_mode: str = "auto",
 ) -> jnp.ndarray:
     """Generate ``shots`` samples for every canonical basis in ONE scan.
 
     Returns ``[3^N, shots, N]`` int8. The reference loops bases in Python
     re-running the T-step sampler 3^N times (``main.py:157-159``); here the
-    scan body sees a ``[3^N * shots, N]`` batch — big enough to fill the MXU.
+    scan body sees a ``[3^N * shots, N]`` batch — big enough to fill the
+    MXU — and, when the (x, basis) grid is smaller than the chain count
+    (``grid_mode='auto'``), switches to the exhaustive-grid sampler
+    (:func:`p_sample_grid`).
     """
     num_bases = 3**num_qubits
     basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), shots)
@@ -278,5 +369,15 @@ def sample_all_bases(
     def denoise_fn(x, t, b):
         return apply_fn(params, x, t, b)
 
-    out = p_sample(key, denoise_fn, basis, num_qubits, schedule, exact=exact)
+    use_grid = grid_mode == "on" or (
+        grid_mode == "auto" and 6**num_qubits < num_bases * shots
+    )
+    if use_grid:
+        out = p_sample_grid(
+            key, denoise_fn, basis, num_qubits, schedule, exact=exact
+        )
+    else:
+        out = p_sample(
+            key, denoise_fn, basis, num_qubits, schedule, exact=exact
+        )
     return out.reshape(num_bases, shots, num_qubits)
