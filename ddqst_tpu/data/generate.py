@@ -99,7 +99,7 @@ def _simulate_chunk(
             from_complex(rhos), rots
         )
     else:
-        psis = np.stack([states.circuit_statevector(qc) for qc in circuits])
+        psis = states.batch_statevectors(circuits)
         probs = measure.batched_probs_pure_per_circuit(
             from_complex(psis), rots
         )
@@ -135,12 +135,13 @@ def build_dataset(
     counts = _simulate_chunk(
         key, [qc for qc, _ in pool], basis_labels, shots, ncfg
     )
+    clean = states.batch_statevectors([qc for qc, _ in pool])
     return [
         CircuitRecord(
             id=i,
             hash=h,
             depth=qc.depth,
-            clean_state=states.circuit_statevector(qc),
+            clean_state=clean[i],
             basis_labels=basis_labels[i].astype(np.int8),
             counts=counts[i],
         )
@@ -191,12 +192,13 @@ def build_dataset_chunked(
             [qc for qc, _ in pool], basis_labels, shots,
             noise.get_noise_config(noise_type),
         )
+        clean = states.batch_statevectors([qc for qc, _ in pool])
         records = [
             CircuitRecord(
                 id=total + i,
                 hash=h,
                 depth=qc.depth,
-                clean_state=states.circuit_statevector(qc),
+                clean_state=clean[i],
                 basis_labels=basis_labels[i].astype(np.int8),
                 counts=counts[i],
             )

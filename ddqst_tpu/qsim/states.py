@@ -137,6 +137,27 @@ def ghz_state(n: int) -> np.ndarray:
     return psi
 
 
+def batch_statevectors(
+    circuits: list[Circuit], prefer_native: bool = True
+) -> np.ndarray:
+    """Exact statevectors ``[C, 2^N]`` for a batch of circuits.
+
+    Uses the native C++ engine (:mod:`ddqst_tpu.qsim.native_engine` — the
+    framework's analogue of the reference's Aer C++ simulator) when the
+    toolchain is available; falls back to the numpy path with identical
+    results.
+    """
+    if prefer_native:
+        try:
+            from ddqst_tpu.qsim import native_engine
+
+            if native_engine.available():
+                return native_engine.statevectors(circuits)
+        except Exception:
+            pass
+    return np.stack([circuit_statevector(c) for c in circuits])
+
+
 def random_circuit(rng: np.random.Generator, num_qubits: int, depth: int) -> Circuit:
     """Layered random circuit over the documented gate set.
 
