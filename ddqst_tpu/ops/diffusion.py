@@ -254,6 +254,35 @@ def match_timestep(schedule: DiffusionSchedule, flip_prob: float) -> int:
     return max(1, min(idx, schedule.num_timesteps))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "shots", "exact")
+)
+def sample_for_bases(
+    key: jax.Array,
+    apply_fn,
+    params,
+    basis_labels: jnp.ndarray,
+    shots: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """Generate ``shots`` samples per given basis-label row (shadow scale).
+
+    ``basis_labels``: ``[B, N]`` per-qubit labels — the conditioning form of
+    the transformer denoiser, used when 3^N makes global indices / full
+    enumeration infeasible (the shadow-sampled datasets of reference
+    ``build_dataset.py:69-87``). Returns ``[B, shots, N]`` int8.
+    """
+    b, n = basis_labels.shape
+    flat = jnp.repeat(basis_labels, shots, axis=0)  # [B*shots, N]
+
+    def denoise_fn(x, t, lab):
+        return apply_fn(params, x, t, lab)
+
+    out = p_sample(key, denoise_fn, flat, n, schedule, exact=exact)
+    return out.reshape(b, shots, n)
+
+
 def _grid_p1_table(
     logits: jnp.ndarray,
     x_bits: jnp.ndarray,

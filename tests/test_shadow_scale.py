@@ -1,0 +1,84 @@
+"""Shadow-tomography scale: transformer denoiser at N=8 with capped bases.
+
+End-to-end check of the large-N path (BASELINE config 5): per-qubit basis
+conditioning (3^8 = 6561 global indices never enumerated), shadow-capped
+measurement set, training on GHZ-8 data, and per-basis-label sampling.
+Full density-matrix reconstruction is deliberately out of scope at this
+scale (4^N Pauli expansion is infeasible; the reference likewise only
+reconstructs at N <= 3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddqst_tpu import train as training
+from ddqst_tpu.config import ModelConfig, TrainConfig
+from ddqst_tpu.models import build_model
+from ddqst_tpu.ops import diffusion as diff
+from ddqst_tpu.ops import schedules
+from ddqst_tpu.ops.complexlib import from_complex
+from ddqst_tpu.qsim import measure, states
+
+N = 8
+T = 30
+
+
+@pytest.fixture(scope="module")
+def shadow_run():
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    psi = states.ghz_state(N)
+
+    # Shadow basis set: Z^N plus 11 random bases.
+    labels = np.concatenate(
+        [np.full((1, N), 2, np.int32), rng.integers(0, 3, (11, N))]
+    ).astype(np.int32)
+    rots = from_complex(measure.rotation_unitaries(labels))
+    probs = measure.batched_probs_pure(from_complex(psi[None]), rots)[0]
+    bits = measure.sample_bits(key, probs, 400, N)  # [12, 400, 8]
+
+    x = bits.reshape(-1, N)
+    basis = jnp.repeat(jnp.asarray(labels, jnp.int8), 400, axis=0)
+
+    model = build_model(
+        ModelConfig(arch="transformer", embed_dim=32, hidden_dim=64,
+                    num_blocks=2, num_heads=2), N, T,
+    )
+    sched = schedules.cosine_schedule(T)
+    cfg = TrainConfig(batch_size=512, learning_rate=2e-3, optimizer="adam",
+                      num_epochs=80, lr_schedule="cosine",
+                      log_every=0, eval_every=0)
+    state, losses = training.fit(
+        key, model, x, jnp.asarray(labels, jnp.int32).repeat(400, axis=0),
+        cfg, sched, log_fn=lambda *a: None,
+    )
+    samples = diff.sample_for_bases(
+        jax.random.fold_in(key, 1), state.apply_fn,
+        {"params": state.params}, jnp.asarray(labels, jnp.int32), 300, sched,
+        exact=False,
+    )
+    del basis
+    return {"losses": np.asarray(losses), "samples": np.asarray(samples),
+            "labels": labels, "data_bits": np.asarray(bits)}
+
+
+def test_loss_decreases(shadow_run):
+    l = shadow_run["losses"]
+    assert l[-1] < l[0] - 0.05
+
+
+def test_sample_shapes(shadow_run):
+    assert shadow_run["samples"].shape == (12, 300, N)
+
+
+def test_z_basis_ghz_correlation(shadow_run):
+    """Generated Z^8 samples should show the GHZ all-equal correlation far
+    above chance (random bits: 2/256 ~ 0.8%)."""
+    z_samples = shadow_run["samples"][0]
+    all_equal = (z_samples == z_samples[:, :1]).all(axis=1).mean()
+    assert all_equal > 0.5, f"all-equal rate only {all_equal}"
+    # Both branches present.
+    ones_rate = z_samples[:, 0].mean()
+    assert 0.15 < ones_rate < 0.85
