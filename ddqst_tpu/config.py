@@ -59,7 +59,8 @@ class TrainConfig:
     eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)
     log_every: int = 50  # epochs between train-loss prints (phases 2-3: 50)
     checkpoint_dir: str = ""
-    checkpoint_every: int = 0  # steps; 0 = final-only (reference behaviour)
+    checkpoint_every: int = 0  # epochs between mid-training checkpoints; 0 = final-only
+    resume: bool = False  # restore latest checkpoint from checkpoint_dir
     data_axis: int = 1  # data-parallel mesh size (1 = single chip)
     model_axis: int = 1  # model-parallel mesh size (transformer only)
 

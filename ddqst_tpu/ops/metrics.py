@@ -112,6 +112,29 @@ def get_metrics(rho, num_qubits: int):
     )
 
 
+def pauli_expectations(rho, labels=None) -> dict[str, float]:
+    """⟨P⟩ = tr(ρP) for a set of Pauli strings (default: single-qubit X/Y/Z).
+
+    The phase-1 notebook reports ⟨X⟩/⟨Y⟩/⟨Z⟩ for the classical-vs-DDM
+    comparison (notes.pdf Table 2). tr(ρP) for Hermitian ρ, P is real:
+    Σ Re(ρ)∘Re(P) + Im(ρ)∘Im(P).
+    """
+    from ddqst_tpu.ops.pauli import pauli_matrix
+
+    rho = as_carray(rho)
+    n = int(np.log2(rho.shape[-1]))
+    if labels is None:
+        labels = []
+        for c in "XYZ":
+            for q in range(n):
+                labels.append("I" * q + c + "I" * (n - q - 1))
+    out = {}
+    for lab in labels:
+        p = from_complex(pauli_matrix(lab))
+        out[lab] = float(jnp.sum(rho.re * p.re + rho.im * p.im))
+    return out
+
+
 def z_bias(z_samples: jnp.ndarray) -> jnp.ndarray:
     """Fraction of zeros in computational-basis samples.
 

@@ -288,6 +288,9 @@ def run_experiment(
         "fidelity": float(fid),
         "raw_fidelity": float(fid_raw),
         "raw_fidelity_mitigated": fid_raw_mit,
+        # Single-site ⟨X⟩/⟨Y⟩/⟨Z⟩ per qubit (notebook/notes.pdf Table 2).
+        "expectations": M.pauli_expectations(rho),
+        "expectations_raw": M.pauli_expectations(rho_raw),
         "purity": float(pur),
         "vn_entropy": float(vn),
         "ent_entropy": float(ent),

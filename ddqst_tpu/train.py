@@ -207,6 +207,16 @@ def fit(
         state = replicate(mesh, state)
         batch_sharding = data_sharding(mesh, 2)
 
+    start_epoch = 0
+    if cfg.checkpoint_dir and cfg.resume:
+        from ddqst_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        step = latest_step(cfg.checkpoint_dir)
+        if step is not None:
+            state, step = restore_checkpoint(cfg.checkpoint_dir, state)
+            start_epoch = int(step)
+            log_fn(f"resumed from checkpoint at epoch {start_epoch}")
+
     losses = []
     ema_params = None
     ema_update = None
@@ -218,7 +228,7 @@ def fit(
             )
         )
     t_start = time.perf_counter()
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         ek = jax.random.fold_in(k_train, epoch)
         state, loss = _run_epoch(
             state, ek, bits, basis, schedule, cfg.batch_size,
