@@ -95,7 +95,8 @@ def main() -> None:
         data=e2e.data.__class__(
             num_qubits=3, state_type="ghz", noise_type="readout",
             shots_train=5000, shots_infer=50000,
-            mitigate_readout=True, reconstruction="mle",
+            mitigate_readout=True, mitigate_train_data=True,
+            reconstruction="mle",
         ),
     )
     res = pipeline.run_experiment(e2e, seed=0, log_fn=lambda *a: None)

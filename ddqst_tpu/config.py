@@ -80,6 +80,11 @@ class DataConfig:
     # Density-matrix estimator: 'linear' (reference parity) | 'mle'
     # (iterative RrhoR with noise-aware POVM; see ops.mle).
     reconstruction: str = "linear"
+    # Train the generative model on readout-mitigated counts (confusion
+    # matrix inverted, clipped, resampled) so it learns the *clean*
+    # distribution; pairs with infer_mode='generate' + unmitigated
+    # reconstruction of the generated samples.
+    mitigate_train_data: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -370,6 +370,68 @@ def p_sample_grid(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("apply_fn", "num_qubits", "exact")
+)
+def sampler_distribution(
+    key: jax.Array,
+    apply_fn,
+    params,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """EXACT output distribution of the reverse sampler, per canonical basis.
+
+    For small N the reverse chain is a Markov chain on 2^N states whose
+    per-step transition factorises over bits given (x_t, basis):
+    T[b, x, y] = Π_q p1[b,x,q]^{y_q} (1-p1)^{1-y_q}. Propagating the full
+    distribution through T (2^N x 2^N matmuls per basis per step, on the
+    MXU) yields the infinite-shot limit of :func:`sample_all_bases` with
+    ZERO generation shot noise — feed the result straight into MLE or
+    weighted linear inversion. ``key`` is unused (kept for API symmetry).
+
+    Returns ``[3^N, 2^N]`` float32 outcome probabilities.
+    """
+    del key
+    if exact is None:
+        exact = schedule.exact_posterior
+    num_bases = 3**num_qubits
+    g = 2**num_qubits
+
+    x_enum = (
+        (jnp.arange(g, dtype=jnp.int32)[:, None] >> jnp.arange(num_qubits))
+        & 1
+    ).astype(jnp.int8)
+    grid_x = jnp.tile(x_enum, (num_bases, 1))
+    grid_basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), g)
+    y_bits = x_enum.astype(jnp.float32)  # [2^N, N]
+
+    def denoise_fn(x, t, b):
+        return apply_fn(params, x, t, b)
+
+    dist0 = jnp.full((num_bases, g), 1.0 / g, jnp.float32)
+    ts = jnp.arange(schedule.num_timesteps, 0, -1)
+
+    def step(dist, t):
+        t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
+        logits = denoise_fn(grid_x, t_vec, grid_basis)
+        p1 = _grid_p1_table(logits, grid_x, t, schedule, exact).reshape(
+            num_bases, g, num_qubits
+        )
+        # T[b, x, y] = prod_q bernoulli(y_q; p1[b, x, q]).
+        probs_per_bit = (
+            p1[:, :, None, :] * y_bits[None, None, :, :]
+            + (1.0 - p1[:, :, None, :]) * (1.0 - y_bits[None, None, :, :])
+        )
+        trans = jnp.prod(probs_per_bit, axis=-1)  # [B, x, y]
+        new = jnp.einsum("bx,bxy->by", dist, trans)
+        return new / jnp.sum(new, axis=-1, keepdims=True), None
+
+    dist, _ = jax.lax.scan(step, dist0, ts)
+    return dist
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("apply_fn", "num_qubits", "shots", "exact", "grid_mode"),
 )

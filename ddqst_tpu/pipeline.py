@@ -72,6 +72,25 @@ def generate_training_data(
         probs = measure.batched_probs_mixed(from_complex(state[None]), rots)[0]
     probs = noise.apply_readout_to_probs(probs, d.num_qubits, ncfg.readout_p)
     bits = measure.sample_bits(key, probs, d.shots_train, d.num_qubits)
+
+    if d.mitigate_train_data and ncfg.readout_p > 0:
+        # Readout mitigation in the data path: invert the confusion matrix
+        # on the *empirical* per-basis frequencies (respecting shot noise),
+        # clip negatives, renormalise, and resample the training shots from
+        # the cleaned distribution. The model then learns the clean state's
+        # statistics directly.
+        from ddqst_tpu.ops.mle import bits_to_counts
+
+        counts = bits_to_counts(bits).astype(jnp.float32)  # [B, d]
+        freqs = counts / jnp.sum(counts, axis=-1, keepdims=True)
+        m_inv = jnp.asarray(
+            np.linalg.inv(noise.confusion_matrix(d.num_qubits, ncfg.readout_p))
+        )
+        clean = jnp.maximum(jnp.einsum("ij,bj->bi", m_inv, freqs), 0.0)
+        clean = clean / jnp.sum(clean, axis=-1, keepdims=True)
+        bits = measure.sample_bits(
+            jax.random.fold_in(key, 1), clean, d.shots_train, d.num_qubits
+        )
     return GeneratedData(
         bits=bits,
         basis_labels=labels,
@@ -242,9 +261,11 @@ def run_experiment(
     if cfg.data.mitigate_readout:
         mit_p = noise.get_noise_config(cfg.data.noise_type).readout_p
     denoised = cfg.diffusion.infer_mode == "denoise"
-    # In denoise mode the reverse chain already inverted the readout channel,
-    # so downstream estimators treat the samples as clean (p = 0).
-    sample_p = 0.0 if denoised else mit_p
+    # Samples are already clean when the reverse chain inverted the channel
+    # (denoise mode) or the model was trained on mitigated data — applying
+    # parity mitigation again would over-correct.
+    already_clean = denoised or cfg.data.mitigate_train_data
+    sample_p = 0.0 if already_clean else mit_p
     labels = data.basis_labels if denoised else None
 
     def reconstruct(bits, p):
