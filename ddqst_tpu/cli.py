@@ -97,16 +97,21 @@ def cmd_run(args) -> int:
     cfg = _build_config(args)
     res = pipeline.run_experiment(cfg, seed=args.seed, mesh=_mesh_for(args))
     if args.plots:
-        from ddqst_tpu import viz
+        # Guarded like the reference's viz (multi_qubit_any_state/
+        # main.py:179-183): a plotting failure must not sink the run.
+        try:
+            from ddqst_tpu import viz
 
-        viz.plot_state_city(res["rho"], f"fidelity {res['fidelity']:.4f}",
-                            f"{cfg.name}_city.png")
-        viz.plot_error_heatmap(
-            __import__("numpy").outer(res["target"],
-                                      res["target"].conj()),
-            res["rho"], f"{cfg.name}_error_heatmap.png")
-        viz.plot_losses(res["losses"], f"{cfg.name}_loss.png")
-        print(f"plots saved with prefix {cfg.name}_")
+            viz.plot_state_city(res["rho"], f"fidelity {res['fidelity']:.4f}",
+                                f"{cfg.name}_city.png")
+            viz.plot_error_heatmap(
+                __import__("numpy").outer(res["target"],
+                                          res["target"].conj()),
+                res["rho"], f"{cfg.name}_error_heatmap.png")
+            viz.plot_losses(res["losses"], f"{cfg.name}_loss.png")
+            print(f"plots saved with prefix {cfg.name}_")
+        except Exception as e:
+            print(f"visualization error: {e}")
     return 0
 
 
