@@ -22,6 +22,10 @@ class ModelConfig:
     hidden_dim: int = 512
     num_blocks: int = 4
     num_heads: int = 4  # transformer only
+    # Beyond-reference: condition on circuit identity when training on a
+    # multi-circuit dataset (enables per-circuit reconstruction; the
+    # reference model blends all circuits - see models/d3pm.py).
+    condition_on_circuit: bool = False
     dtype: str = "float32"  # compute dtype; 'bfloat16' for the TPU fast path
 
 

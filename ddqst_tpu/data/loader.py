@@ -81,10 +81,17 @@ def dataset_to_training_arrays(
     else:
         raise ValueError(f"unknown loader mode {mode!r}")
     labels = all_labels[row_of].astype(np.int8)
+    rows_per_record = np.array([r.counts.shape[0] for r in records])
+    row_to_circuit = np.repeat(np.arange(len(records)), rows_per_record)
     return {
         "bits": jnp.asarray(bits),
         "basis_idx": jnp.asarray(_labels_to_idx(labels)),
         "basis_labels": jnp.asarray(labels),
+        # Position of the originating record in `records` — the circuit id
+        # for circuit-conditioned training (ConditionalD3PM.num_circuits).
+        "circuit_idx": jnp.asarray(
+            row_to_circuit[row_of].astype(np.int32)
+        ),
     }
 
 

@@ -63,20 +63,56 @@ def evaluate_dataset(
     exact: bool | None = None,
     reconstruction: str = "linear",
     readout_p: float = 0.0,
+    circuit_conditioned: bool = False,
     out_dir: str | None = None,
     log_fn=print,
 ) -> list[dict]:
-    """Run the raw-vs-D3PM comparison over an eval dataset."""
-    samples = diff.sample_all_bases(
-        key, apply_fn, params, num_qubits, shots_infer, schedule, exact=exact
-    )
-    if reconstruction == "mle":
-        rho_gen = mle_mod.make_mle(num_qubits, readout_p=readout_p)(
-            mle_mod.bits_to_counts(samples)
+    """Run the raw-vs-D3PM comparison over an eval dataset.
+
+    ``circuit_conditioned=True`` requires a model trained with
+    ``ModelConfig.condition_on_circuit`` on these records *in this order*
+    (the eval subset saved by ``pipeline.train_on_dataset`` preserves it);
+    generation then runs per circuit id and each record is reconstructed
+    from its own generated samples.
+    """
+    import jax.numpy as jnp
+
+    num_bases = 3**num_qubits
+    if circuit_conditioned:
+        c = len(records)
+        basis_rows = jnp.tile(
+            jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), shots_infer),
+            (c,),
         )
+        circ_rows = jnp.repeat(
+            jnp.arange(c, dtype=jnp.int32), num_bases * shots_infer
+        )
+        packed = jnp.stack([basis_rows, circ_rows], axis=-1)
+
+        def denoise_fn(x, t, b):
+            return apply_fn(params, x, t, b)
+
+        flat = diff.p_sample_grid(
+            key, denoise_fn, packed, num_qubits, schedule, exact=exact,
+            num_circuits=c,
+        )
+        per_circuit = flat.reshape(c, num_bases, shots_infer, num_qubits)
+        zb = float(M.z_bias(per_circuit[0, -1]))
     else:
-        rho_gen = pauli.make_inverter(num_qubits, readout_p=readout_p)(samples)
-    zb = float(M.z_bias(samples[-1]))  # canonical last basis = Z...Z
+        samples = diff.sample_all_bases(
+            key, apply_fn, params, num_qubits, shots_infer, schedule,
+            exact=exact,
+        )
+        zb = float(M.z_bias(samples[-1]))  # canonical last basis = Z...Z
+
+    def gen_rho(bits):
+        if reconstruction == "mle":
+            return mle_mod.make_mle(num_qubits, readout_p=readout_p)(
+                mle_mod.bits_to_counts(bits)
+            )
+        return pauli.make_inverter(num_qubits, readout_p=readout_p)(bits)
+
+    rho_gen = None if circuit_conditioned else gen_rho(samples)
 
     out = []
     for i, rec in enumerate(records):
@@ -85,10 +121,11 @@ def evaluate_dataset(
             num_qubits, rec.basis_labels, rec.counts, reconstruction,
             readout_p,
         )
+        rho_i = gen_rho(per_circuit[i]) if circuit_conditioned else rho_gen
         fid_raw = float(M.state_fidelity(target, rho_raw))
-        fid_d3pm = float(M.state_fidelity(target, rho_gen))
+        fid_d3pm = float(M.state_fidelity(target, rho_i))
         _, s_raw, _ = (float(x) for x in M.get_metrics(rho_raw, num_qubits))
-        _, s_d3pm, _ = (float(x) for x in M.get_metrics(rho_gen, num_qubits))
+        _, s_d3pm, _ = (float(x) for x in M.get_metrics(rho_i, num_qubits))
         out.append(
             {
                 "id": rec.id,

@@ -65,11 +65,22 @@ class ConditionalD3PM(nn.Module):
     hidden_dim: int = 512
     num_blocks: int = 4
     input_encoding: str = "float"  # 'float' | 'token'
+    # Beyond-reference: optional circuit-identity conditioning. The
+    # reference's phase-4 protocol trains one model over many circuits with
+    # only (t, basis) conditioning, so it can only learn their *average*
+    # distribution (its per-circuit evaluate fidelities are structurally
+    # low). With num_circuits > 0, ``basis_idx`` may be a packed ``[B, 2]``
+    # array of (basis_idx, circuit_idx) and a circuit embedding joins the
+    # conditioning vector — enabling true per-circuit reconstruction.
+    num_circuits: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, basis_idx):
         b = x.shape[0]
+        circuit_idx = None
+        if basis_idx.ndim == 2:
+            basis_idx, circuit_idx = basis_idx[..., 0], basis_idx[..., 1]
         if self.input_encoding == "float":
             h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="input_proj")(
                 x.astype(self.dtype)
@@ -86,7 +97,15 @@ class ConditionalD3PM(nn.Module):
                          dtype=self.dtype, name="time_emb")(t)
         b_emb = nn.Embed(self.num_bases, self.embed_dim, dtype=self.dtype,
                          name="basis_emb")(basis_idx)
-        cond = jnp.concatenate([t_emb, b_emb], axis=-1)
+        parts = [t_emb, b_emb]
+        if self.num_circuits > 0:
+            if circuit_idx is None:
+                circuit_idx = jnp.zeros_like(basis_idx)
+            parts.append(
+                nn.Embed(self.num_circuits, self.embed_dim, dtype=self.dtype,
+                         name="circuit_emb")(circuit_idx)
+            )
+        cond = jnp.concatenate(parts, axis=-1)
 
         for i in range(self.num_blocks):
             h = FiLMResBlock(self.hidden_dim, dtype=self.dtype,
@@ -97,8 +116,15 @@ class ConditionalD3PM(nn.Module):
         return out.reshape(b, self.num_qubits, 2).astype(jnp.float32)
 
 
-def build_model(cfg: ModelConfig, num_qubits: int, num_timesteps: int) -> nn.Module:
-    """Instantiate a denoiser from a :class:`ModelConfig`."""
+def build_model(
+    cfg: ModelConfig, num_qubits: int, num_timesteps: int,
+    num_circuits: int = 0,
+) -> nn.Module:
+    """Instantiate a denoiser from a :class:`ModelConfig`.
+
+    ``num_circuits > 0`` enables circuit-identity conditioning (film_mlp
+    only; see :class:`ConditionalD3PM`).
+    """
     dtype = jnp.dtype(cfg.dtype)
     if cfg.arch == "film_mlp":
         return ConditionalD3PM(
@@ -109,6 +135,7 @@ def build_model(cfg: ModelConfig, num_qubits: int, num_timesteps: int) -> nn.Mod
             hidden_dim=cfg.hidden_dim,
             num_blocks=cfg.num_blocks,
             input_encoding=cfg.input_encoding,
+            num_circuits=num_circuits,
             dtype=dtype,
         )
     if cfg.arch == "transformer":

@@ -314,6 +314,7 @@ def p_sample_grid(
     schedule: DiffusionSchedule,
     exact: bool | None = None,
     step_impl=None,
+    num_circuits: int = 0,
 ) -> jnp.ndarray:
     """Reverse diffusion via exhaustive-grid evaluation (small N).
 
@@ -327,6 +328,11 @@ def p_sample_grid(
 
     ``step_impl(key, table [G, N], rows [B], powers) -> new_x_idx [B]``
     optionally overrides the chain-update (e.g. the fused Pallas kernel).
+
+    With ``num_circuits > 0``, ``basis`` is a packed ``[B, 2]`` array of
+    (basis_idx, circuit_idx) (circuit-conditioned models) and the grid
+    enumerates (circuit, basis, x) — still tiny for small N and modest
+    circuit counts.
     """
     if exact is None:
         exact = schedule.exact_posterior
@@ -335,15 +341,26 @@ def p_sample_grid(
     num = basis.shape[0]
     powers = 2 ** jnp.arange(num_qubits, dtype=jnp.int32)
 
-    # Grid enumeration: row = basis_idx * 2^N + x_index.
+    # Grid enumeration: row = (circuit *) basis_idx * 2^N + x_index.
     x_enum = (
         (jnp.arange(g, dtype=jnp.int32)[:, None] >> jnp.arange(num_qubits))
         & 1
     ).astype(jnp.int8)  # [2^N, N]
-    grid_x = jnp.tile(x_enum, (num_bases, 1))  # [G, N]
-    grid_basis = jnp.repeat(
-        jnp.arange(num_bases, dtype=jnp.int32), g
-    )  # [G]
+    n_cond = max(num_circuits, 1) * num_bases
+    grid_x = jnp.tile(x_enum, (n_cond, 1))  # [Gtot, N]
+    grid_basis_1d = jnp.tile(
+        jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), g),
+        (max(num_circuits, 1),),
+    )
+    if num_circuits > 0:
+        grid_circ = jnp.repeat(
+            jnp.arange(num_circuits, dtype=jnp.int32), num_bases * g
+        )
+        grid_basis = jnp.stack([grid_basis_1d, grid_circ], axis=-1)
+        row_base = (basis[:, 1] * num_bases + basis[:, 0]) * g
+    else:
+        grid_basis = grid_basis_1d
+        row_base = basis * g
 
     k_init, k_scan = jax.random.split(key)
     x_idx = jax.random.randint(k_init, (num,), 0, g, dtype=jnp.int32)
@@ -352,9 +369,9 @@ def p_sample_grid(
     def step(x_idx, t):
         kt = jax.random.fold_in(k_scan, t)
         t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
-        logits = denoise_fn(grid_x, t_vec, grid_basis)  # [G, N, 2]
-        table = _grid_p1_table(logits, grid_x, t, schedule, exact)  # [G, N]
-        rows = basis * g + x_idx
+        logits = denoise_fn(grid_x, t_vec, grid_basis)  # [Gtot, N, 2]
+        table = _grid_p1_table(logits, grid_x, t, schedule, exact)
+        rows = row_base + x_idx
         if step_impl is not None:
             new_idx = step_impl(kt, table, rows, powers)
         else:

@@ -179,11 +179,23 @@ def train_on_dataset(
            f"({len(training_recs)} circuits)")
 
     schedule = make_schedule(cfg.diffusion.schedule, cfg.diffusion.num_timesteps)
-    model = build_model(cfg.model, cfg.data.num_qubits, cfg.diffusion.num_timesteps)
+    num_circuits = (
+        len(training_recs) if cfg.model.condition_on_circuit else 0
+    )
+    model = build_model(
+        cfg.model, cfg.data.num_qubits, cfg.diffusion.num_timesteps,
+        num_circuits=num_circuits,
+    )
+
+    def cond(a):  # packed (basis, circuit) when circuit-conditioned
+        if num_circuits == 0:
+            return a["basis_idx"]
+        return jnp.stack([a["basis_idx"], a["circuit_idx"]], axis=-1)
+
     state, losses = training.fit(
-        jax.random.key(seed), model, arrays["bits"], arrays["basis_idx"],
+        jax.random.key(seed), model, arrays["bits"], cond(arrays),
         cfg.train, schedule,
-        eval_bits=eval_arrays["bits"], eval_basis=eval_arrays["basis_idx"],
+        eval_bits=eval_arrays["bits"], eval_basis=cond(eval_arrays),
         log_fn=log_fn,
     )
     if save_dir:

@@ -128,11 +128,14 @@ def _run_epoch(
         if batch_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            sh1 = NamedSharding(
-                batch_sharding.mesh, PartitionSpec(batch_sharding.spec[0])
+            sh_b = NamedSharding(
+                batch_sharding.mesh,
+                PartitionSpec(
+                    batch_sharding.spec[0], *([None] * (bb.ndim - 1))
+                ),
             )
             xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
-            bb = jax.lax.with_sharding_constraint(bb, sh1)
+            bb = jax.lax.with_sharding_constraint(bb, sh_b)
         st, loss = step_fn(st, jax.random.fold_in(ks, i), xb, bb)
         return st, loss
 
@@ -157,7 +160,7 @@ def eval_loss(
     steps = max(m // batch_size, 1)
     usable = steps * batch_size
     bi = bits[:usable].reshape(steps, batch_size, -1)
-    ba = basis[:usable].reshape(steps, batch_size)
+    ba = basis[:usable].reshape((steps, batch_size) + basis.shape[1:])
 
     def body(_, inp):
         i, xb, bb = inp
@@ -254,7 +257,7 @@ def fit(
             and (epoch + 1) % cfg.eval_every == 0
         ):
             vl = eval_loss(
-                state, jax.random.fold_in(ek, -1), eval_bits, eval_basis,
+                state, jax.random.fold_in(ek, 0x7E7A1), eval_bits, eval_basis,
                 schedule, cfg.batch_size,
             )
             log_fn(f"  val loss {float(vl):.4f}")
