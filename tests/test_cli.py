@@ -70,3 +70,17 @@ def test_cli_convert(tmp_path):
     rc = cli.main(["convert", "--src", src, "--out", out])
     assert rc == 0
     assert len(os.listdir(out)) == 1
+
+def test_cli_run_data_parallel(tmp_path, monkeypatch):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([
+        "run", "--preset", "special_states", "--epochs", "2",
+        "--embed_dim", "8", "--hidden_dim", "32", "--num_blocks", "1",
+        "--timesteps", "8", "--shots_train", "128", "--shots_infer", "64",
+        "--batch_size", "64", "--data_parallel", "8",
+    ])
+    assert rc == 0
