@@ -89,14 +89,24 @@ def make_mle(
             p = jnp.einsum("ij,kij->k", rho.re, povm.re) + jnp.einsum(
                 "ij,kij->k", rho.im, povm.im
             )
-            w = f / jnp.maximum(p, 1e-10)
+            w = f / jnp.maximum(p, 1e-8)
+            # R ρ R / tr(·) is invariant to the scale of R; normalise the
+            # weights so extreme f/p ratios cannot overflow float32.
+            w = w / jnp.maximum(jnp.sum(w), 1e-12)
             r = CArray(
                 jnp.einsum("k,kij->ij", w, povm.re),
                 jnp.einsum("k,kij->ij", w, povm.im),
             )
             new = cmatmul(cmatmul(r, rho), r)
             tr = jnp.trace(new.re)
-            return new.scale(1.0 / jnp.maximum(tr, 1e-12))
+            ok = (tr > 1e-20) & jnp.isfinite(tr)
+            new = new.scale(jnp.where(ok, 1.0 / jnp.where(ok, tr, 1.0), 0.0))
+            # If the update degenerated, keep the previous iterate.
+            keep = ok & jnp.isfinite(new.re).all() & jnp.isfinite(new.im).all()
+            return CArray(
+                jnp.where(keep, new.re, rho.re),
+                jnp.where(keep, new.im, rho.im),
+            )
 
         return jax.lax.fori_loop(0, iterations, body, rho0)
 
