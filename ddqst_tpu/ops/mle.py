@@ -28,8 +28,6 @@ import numpy as np
 
 from ddqst_tpu.ops.complexlib import CArray, cmatmul, from_complex
 from ddqst_tpu.ops.pauli import all_basis_labels
-from ddqst_tpu.qsim.measure import rotation_unitaries
-from ddqst_tpu.qsim.noise import confusion_matrix
 
 
 def bits_to_counts(bits: jnp.ndarray) -> jnp.ndarray:
@@ -46,6 +44,11 @@ def _povm_elements(
     num_qubits: int, basis_labels: np.ndarray, readout_p: float
 ) -> np.ndarray:
     """Host-side complex POVM stack ``[B*d, d, d]`` (then split on device)."""
+    # Deferred imports: qsim.measure itself imports from ddqst_tpu.ops, so a
+    # module-level import here would be circular via ops/__init__.
+    from ddqst_tpu.qsim.measure import rotation_unitaries
+    from ddqst_tpu.qsim.noise import confusion_matrix
+
     d = 2**num_qubits
     rots = rotation_unitaries(basis_labels)  # [B, d, d] complex
     # Π_{b,i} = U† |i><i| U : outer product of U's i-th row conj with itself.

@@ -120,7 +120,6 @@ def _apply_depolarizing(rho: np.ndarray, qubits, n: int, p: float) -> np.ndarray
     for q in range(n):
         sub_t[n - 1 - q] = q
         sub_t[2 * n - 1 - q] = q if q in gate_set else n + q
-    rest = [q for q in range(n) if q not in gate_set]
     out_traced = []
     for q in range(n - 1, -1, -1):
         if q not in gate_set:
@@ -138,7 +137,6 @@ def _apply_depolarizing(rho: np.ndarray, qubits, n: int, p: float) -> np.ndarray
         n + q for q in range(n - 1, -1, -1)
     ]
     full = np.einsum(mixed, sub_m, traced, out_traced, out_full)
-    del rest
     return (1 - p) * rho + p * full.reshape(rho.shape)
 
 
@@ -200,9 +198,6 @@ def noisy_state(circuit: Circuit, cfg: NoiseConfig):
     probabilities / bits downstream (see :func:`apply_readout_to_probs`).
     """
     if cfg.has_gate_noise:
-        from ddqst_tpu.qsim import states as S  # circular-safe local import
-
-        del S
         return "mixed", simulate_density_matrix(circuit, cfg)
     from ddqst_tpu.qsim.states import circuit_statevector
 

@@ -33,8 +33,6 @@ def test_grid_matches_direct_distribution(kind, exact, key):
     grid = diff.p_sample_grid(jax.random.fold_in(key, 7), fn, basis, n, s,
                               exact=exact)
     # Compare per-basis outcome distributions.
-    for arr_a, arr_b in [(direct, grid)]:
-        pass
     da = np.asarray(direct).reshape(9, 600, n)
     db = np.asarray(grid).reshape(9, 600, n)
     for b in range(9):

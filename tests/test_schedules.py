@@ -92,7 +92,6 @@ def test_cum_flip_monotone_to_half():
 
 def test_schedule_is_pytree():
     s = schedules.make_schedule("cosine", 50)
-    leaves = jnp.array([0.0])
     mapped = __import__("jax").tree_util.tree_map(lambda x: x * 1.0, s)
     assert mapped.num_timesteps == 50
-    del leaves
+    assert jnp.allclose(mapped.betas, s.betas)
