@@ -28,7 +28,7 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     # Data
     p.add_argument("--num_qubits", type=int)
     p.add_argument("--state_type",
-                   choices=["plus", "bell", "ghz", "rqc"])
+                   choices=["plus", "bell", "ghz", "w", "rqc"])
     p.add_argument("--noise_type",
                    choices=["torino", "ideal", "readout", "depolarizing",
                             "thermal"])

@@ -72,7 +72,7 @@ class TrainConfig:
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
     num_qubits: int = 2
-    state_type: str = "bell"  # 'plus' | 'bell' | 'ghz' | 'rqc'
+    state_type: str = "bell"  # 'plus' | 'bell' | 'ghz' | 'w' | 'rqc'
     noise_type: str = "readout"  # 'torino'|'ideal'|'readout'|'depolarizing'|'thermal'
     shots_train: int = 1000
     shots_infer: int = 10000

@@ -65,9 +65,18 @@ def make_mle(
     num_qubits: int,
     basis_labels: np.ndarray | None = None,
     readout_p: float = 0.0,
-    iterations: int = 300,
+    iterations: int = 600,
+    epsilon: float = 0.25,
 ):
     """Build a jitted MLE reconstructor for a fixed basis set.
+
+    Uses the *diluted* RρR iteration (Řeháček et al.):
+    ρ ← G ρ G / tr(·) with G = (1-ε) I + ε R̃, R̃ = R / num_bases so that
+    tr(R̃ρ) = 1 identically (per-basis-normalised frequencies sum to the
+    basis count). The plain RρR map can oscillate between fixed points on
+    rank-deficient empirical data (observed: fidelity 0.988 at 50
+    iterations degrading to 0.68 at 150); the diluted map converges
+    monotonically for ε < 1 at a modest iteration-count cost.
 
     Returns ``reconstruct(counts [B, 2^N]) -> rho`` (CArray). ``counts`` may
     be raw counts or frequencies (normalised internally per basis).
@@ -75,32 +84,29 @@ def make_mle(
     if basis_labels is None:
         basis_labels = all_basis_labels(num_qubits)
     d = 2**num_qubits
+    num_rows = basis_labels.shape[0]
     povm = from_complex(_povm_elements(num_qubits, basis_labels, readout_p))
+    eye = jnp.eye(d, dtype=jnp.float32)
 
     @jax.jit
     def reconstruct(counts: jnp.ndarray) -> CArray:
         freqs = counts / jnp.maximum(
             jnp.sum(counts, axis=-1, keepdims=True), 1.0
         )
-        f = freqs.reshape(-1).astype(jnp.float32)  # [B*d]
-        rho0 = CArray(
-            jnp.eye(d, dtype=jnp.float32) / d, jnp.zeros((d, d), jnp.float32)
-        )
+        f = freqs.reshape(-1).astype(jnp.float32)  # [B*d], sums to B
+        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
 
         def body(_, rho):
             # tr(ρ Π_k) — real for Hermitian operands.
             p = jnp.einsum("ij,kij->k", rho.re, povm.re) + jnp.einsum(
                 "ij,kij->k", rho.im, povm.im
             )
-            w = f / jnp.maximum(p, 1e-8)
-            # R ρ R / tr(·) is invariant to the scale of R; normalise the
-            # weights so extreme f/p ratios cannot overflow float32.
-            w = w / jnp.maximum(jnp.sum(w), 1e-12)
-            r = CArray(
-                jnp.einsum("k,kij->ij", w, povm.re),
+            w = (f / jnp.maximum(p, 1e-8)) * (epsilon / num_rows)
+            g = CArray(
+                (1.0 - epsilon) * eye + jnp.einsum("k,kij->ij", w, povm.re),
                 jnp.einsum("k,kij->ij", w, povm.im),
             )
-            new = cmatmul(cmatmul(r, rho), r)
+            new = cmatmul(cmatmul(g, rho), g)
             tr = jnp.trace(new.re)
             ok = (tr > 1e-20) & jnp.isfinite(tr)
             new = new.scale(jnp.where(ok, 1.0 / jnp.where(ok, tr, 1.0), 0.0))

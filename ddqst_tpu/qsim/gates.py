@@ -72,6 +72,16 @@ def cp(theta: float) -> np.ndarray:
     return np.diag([1, 1, 1, np.exp(1j * theta)]).astype(_C)
 
 
+def cry(theta: float) -> np.ndarray:
+    """Controlled-Ry (control = first listed qubit = low bit)."""
+    c, s = np.cos(theta / 2), np.sin(theta / 2)
+    # Control set <=> low bit 1 <=> indices 1 (target 0) and 3 (target 1).
+    m = np.eye(4, dtype=_C)
+    m[1, 1], m[1, 3] = c, -s
+    m[3, 1], m[3, 3] = s, c
+    return m
+
+
 # The random-circuit gate set: (name, n_qubits, n_params).
 RANDOM_1Q = [
     ("x", 0), ("y", 0), ("z", 0), ("h", 0), ("s", 0), ("sdg", 0),
@@ -84,7 +94,7 @@ _FIXED = {
     "i": I, "x": X, "y": Y, "z": Z, "h": H, "s": S, "sdg": SDG,
     "t": T, "tdg": TDG, "sx": SX, "cx": CX, "cz": CZ, "swap": SWAP,
 }
-_PARAM = {"rx": rx, "ry": ry, "rz": rz, "u3": u3, "cp": cp}
+_PARAM = {"rx": rx, "ry": ry, "rz": rz, "u3": u3, "cp": cp, "cry": cry}
 
 
 def gate_matrix(name: str, params: tuple = ()) -> np.ndarray:

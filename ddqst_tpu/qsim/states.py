@@ -114,6 +114,15 @@ def prep_circuit(state_type: str, num_qubits: int, depth: int = 4,
             Gate("cx", (q, q + 1)) for q in range(num_qubits - 1)
         ]
         return Circuit(num_qubits, tuple(gs))
+    if state_type == "w":
+        # Cascade construction: X on q0, then for each k a controlled-Ry
+        # keeping amplitude 1/(n-k) at q_k followed by CX(q_{k+1} -> q_k).
+        gs = [Gate("x", (0,))]
+        for k in range(num_qubits - 1):
+            theta = 2.0 * float(np.arccos(np.sqrt(1.0 / (num_qubits - k))))
+            gs.append(Gate("cry", (k, k + 1), (theta,)))
+            gs.append(Gate("cx", (k + 1, k)))
+        return Circuit(num_qubits, tuple(gs))
     if state_type == "rqc":
         if rng is None:
             rng = np.random.default_rng()
@@ -134,6 +143,14 @@ def bell_state() -> np.ndarray:
 def ghz_state(n: int) -> np.ndarray:
     psi = np.zeros(2**n, dtype=np.complex64)
     psi[0] = psi[-1] = 1 / np.sqrt(2)
+    return psi
+
+
+def w_state(n: int) -> np.ndarray:
+    """|W_n⟩: equal superposition of single-excitation basis states."""
+    psi = np.zeros(2**n, dtype=np.complex64)
+    for q in range(n):
+        psi[1 << q] = 1 / np.sqrt(n)
     return psi
 
 

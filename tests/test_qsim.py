@@ -171,3 +171,22 @@ def test_mixed_probs_match_pure_when_ideal():
     p_pure = measure.batched_probs_pure(from_complex(psi[None]), rots)
     p_mixed = measure.batched_probs_mixed(from_complex(rho[None]), rots)
     np.testing.assert_allclose(np.asarray(p_pure), np.asarray(p_mixed), atol=1e-5)
+
+
+def test_w_state_circuit():
+    # W-state cascade prep matches the analytic state for several N
+    # (BASELINE config 3 includes N=3 W states).
+    for n in (2, 3, 4):
+        c = states.prep_circuit("w", n)
+        psi = states.circuit_statevector(c)
+        np.testing.assert_allclose(psi, states.w_state(n), atol=1e-6)
+
+
+def test_w_state_native_engine():
+    from ddqst_tpu.qsim import native_engine
+
+    if not native_engine.available():
+        pytest.skip("native engine unavailable")
+    c = states.prep_circuit("w", 3)
+    out = native_engine.statevectors([c])[0]
+    np.testing.assert_allclose(out, states.w_state(3), atol=1e-6)
