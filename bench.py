@@ -25,6 +25,12 @@ TORCH_CPU_TRAIN_STEPS_PER_SEC = 3.5566
 TORCH_CPU_SAMPLED_BITSTRINGS_PER_SEC = 140.6
 
 
+def _r5(x):
+    import math
+
+    return None if x is None or math.isnan(x) else round(x, 5)
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
     import jax
@@ -99,7 +105,15 @@ def main() -> None:
             reconstruction="mle",
         ),
     )
-    res = pipeline.run_experiment(e2e, seed=0, log_fn=lambda *a: None)
+    try:
+        res = pipeline.run_experiment(e2e, seed=0, log_fn=lambda *a: None)
+    except Exception as err:  # never lose the throughput numbers
+        res = {
+            "fidelity": float("nan"),
+            "raw_fidelity": float("nan"),
+            "raw_fidelity_mitigated": float("nan"),
+        }
+        print(f"# e2e failed: {err!r}", flush=True)
 
     record = {
         "metric": "train_steps_per_sec",
@@ -113,11 +127,11 @@ def main() -> None:
             sampled_per_sec / TORCH_CPU_SAMPLED_BITSTRINGS_PER_SEC, 2
         ),
         # D3PM generative pipeline (train -> sample -> noise-aware MLE):
-        "ghz3_fidelity": round(res["fidelity"], 5),
+        "ghz3_fidelity": _r5(res["fidelity"]),
         # Reference-parity baseline (plain linear inversion on raw shots):
-        "ghz3_raw_fidelity": round(res["raw_fidelity"], 5),
+        "ghz3_raw_fidelity": _r5(res["raw_fidelity"]),
         # Framework-best estimator (noise-aware MLE on raw shots):
-        "ghz3_mle_fidelity": round(res["raw_fidelity_mitigated"], 5),
+        "ghz3_mle_fidelity": _r5(res["raw_fidelity_mitigated"]),
         "ghz3_fidelity_reference": 0.87092,  # notes.pdf Table 3
         "device": str(jax.devices()[0]),
     }
