@@ -82,3 +82,28 @@ def test_z_basis_ghz_correlation(shadow_run):
     # Both branches present.
     ones_rate = z_samples[:, 0].mean()
     assert 0.15 < ones_rate < 0.85
+
+def test_run_experiment_shadow_branch():
+    """run_experiment auto-routes N>6 to the distribution-level path."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("shadow_transformer")
+    cfg = cfg.replace(
+        name="shadow_mini",
+        model=cfg.model.__class__(arch="transformer", embed_dim=16,
+                                  hidden_dim=32, num_blocks=1, num_heads=2),
+        diffusion=cfg.diffusion.__class__(num_timesteps=10, schedule="cosine",
+                                          sampler="renoise"),
+        train=cfg.train.__class__(batch_size=256, learning_rate=2e-3,
+                                  optimizer="adam", num_epochs=5,
+                                  log_every=0, eval_every=0),
+        data=cfg.data.__class__(num_qubits=7, state_type="ghz",
+                                noise_type="readout", shots_train=200,
+                                shots_infer=200, max_bases=8),
+    )
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=lambda *a: None)
+    assert res["fidelity"] is None
+    assert 0.0 <= res["mean_tv_distance"] <= 1.0
+    assert res["samples"].shape == (8, 200, 7)
+    assert np.isfinite(res["losses"]).all()
