@@ -35,6 +35,8 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rqc_depth", type=int)
     p.add_argument("--shots_train", type=int)
     p.add_argument("--shots_infer", type=int)
+    p.add_argument("--max_bases", type=int,
+                   help="shadow cap on measured bases (0 = all 3^N)")
     p.add_argument("--mitigate_readout", action="store_true", default=None)
     p.add_argument("--reconstruction", choices=["linear", "mle"])
     # Diffusion
@@ -45,6 +47,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     # Model
     p.add_argument("--arch", choices=["film_mlp", "transformer"])
     p.add_argument("--input_encoding", choices=["float", "token"])
+    p.add_argument("--condition_on_circuit", action="store_true", default=None,
+                   help="circuit-identity conditioning (beyond-reference; "
+                        "must match how the params were trained)")
     p.add_argument("--embed_dim", type=int)
     p.add_argument("--hidden_dim", type=int)
     p.add_argument("--num_blocks", type=int, dest="num_blocks")
@@ -170,7 +175,15 @@ def cmd_evaluate(args) -> int:
     n = records[0].num_qubits
     schedule = make_schedule(cfg.diffusion.schedule,
                              cfg.diffusion.num_timesteps)
-    model = build_model(cfg.model, n, cfg.diffusion.num_timesteps)
+    # Circuit-conditioned params carry a circuit_emb table sized to the
+    # training circuit count; the eval subset saved by train_on_dataset is
+    # its prefix, so build the model with that vocabulary to restore.
+    circuit_conditioned = cfg.model.condition_on_circuit
+    num_circuits = args.num_circuits or (
+        len(records) if circuit_conditioned else 0
+    )
+    model = build_model(cfg.model, n, cfg.diffusion.num_timesteps,
+                        num_circuits=num_circuits)
     template = training.create_state(
         jax.random.key(0), model, cfg.train, n
     )
@@ -187,6 +200,7 @@ def cmd_evaluate(args) -> int:
         exact=cfg.diffusion.exact,
         reconstruction=cfg.data.reconstruction,
         readout_p=readout_p,
+        circuit_conditioned=circuit_conditioned,
         out_dir=args.out_dir,
     )
     return 0
@@ -240,6 +254,9 @@ def main(argv=None) -> int:
     p.add_argument("--params", required=True)
     p.add_argument("--eval_data", required=True)
     p.add_argument("--out_dir", default="results")
+    p.add_argument("--num_circuits", type=int, default=0,
+                   help="circuit-emb vocabulary size the params were trained "
+                        "with (default: the eval record count)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("convert", help="convert reference .pt parts to npz")

@@ -43,6 +43,15 @@ class DiffusionConfig:
     # inversion (see ops.diffusion.p_denoise).
     infer_mode: str = "generate"  # 'generate' | 'denoise'
 
+    def __post_init__(self):
+        if self.schedule == "linear" and self.sampler == "exact":
+            raise ValueError(
+                "sampler='exact' is inconsistent with schedule='linear' "
+                "(the linear family's cum_flip is the reference's one-shot "
+                "quirk, not a cumulative flip probability); use "
+                "sampler='renoise' or schedule='cosine'"
+            )
+
     @property
     def exact(self) -> bool | None:
         return {"auto": None, "exact": True, "renoise": False}[self.sampler]

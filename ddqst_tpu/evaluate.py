@@ -38,17 +38,18 @@ def _reconstruct_counts(
         rec = mle_mod.make_mle(num_qubits, basis_labels, readout_p=readout_p)
         return rec(counts)
     inv = pauli.make_inverter(num_qubits, basis_labels, readout_p=readout_p)
-    # Linear inversion consumes bit samples; rebuild them from counts.
-    from ddqst_tpu.data.loader import counts_to_bits_exact
+    # Counts-native weighted inversion: the inverter's parity statistics
+    # accept sample weights, so feed the 2^N enumerated outcomes with their
+    # counts as weights — O(2^N) per basis instead of O(shots) per-shot
+    # unrolling (which at shadow scales would pad GB-sized host arrays).
     import jax.numpy as jnp
 
-    rows = [counts_to_bits_exact(np.asarray(c), num_qubits) for c in counts]
-    smax = max(len(r) for r in rows)
-    bits = np.zeros((len(rows), smax, num_qubits), np.int8)
-    weights = np.zeros((len(rows), smax), np.float32)
-    for i, r in enumerate(rows):
-        bits[i, : len(r)] = r
-        weights[i, : len(r)] = 1.0
+    d = 2**num_qubits
+    x_enum = (
+        (np.arange(d)[:, None] >> np.arange(num_qubits)) & 1
+    ).astype(np.int8)  # [d, N]
+    weights = np.asarray(counts, np.float32)  # [B, d]
+    bits = np.broadcast_to(x_enum, (weights.shape[0], d, num_qubits))
     return inv(jnp.asarray(bits), jnp.asarray(weights))
 
 
@@ -132,6 +133,8 @@ def evaluate_dataset(
                 "depth": rec.depth,
                 "raw_fidelity": fid_raw,
                 "d3pm_fidelity": fid_d3pm,
+                "raw_trace_distance": float(M.trace_distance(target, rho_raw)),
+                "d3pm_trace_distance": float(M.trace_distance(target, rho_i)),
                 "raw_entropy": s_raw,
                 "d3pm_entropy": s_d3pm,
                 "z_bias": zb,

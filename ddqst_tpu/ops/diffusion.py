@@ -78,6 +78,26 @@ def denoising_loss(
     return jnp.mean(nll)
 
 
+def _resolve_exact(schedule: DiffusionSchedule, exact: bool | None) -> bool:
+    """Resolve the reverse-rule override against the schedule.
+
+    The exact-posterior formula needs a true cumulative flip probability;
+    the linear family's ``cum_flip == betas`` is deliberately NOT cumulative
+    (the preserved reference one-shot quirk, ``multi_qubit_any_state/
+    diffusion.py:14-25``), so exact=True + linear would be a mathematically
+    inconsistent posterior — reject it instead of silently mis-sampling.
+    """
+    if exact is None:
+        return schedule.exact_posterior
+    if exact and schedule.kind == "linear":
+        raise ValueError(
+            "exact posterior requires a cumulative schedule; the linear "
+            "family's cum_flip is the reference's one-shot quirk (use "
+            "sampler='renoise' or the cosine schedule)"
+        )
+    return exact
+
+
 def _posterior_p1(
     logits: jnp.ndarray,
     x_t: jnp.ndarray,
@@ -129,8 +149,7 @@ def p_sample(
     Returns:
       ``[B, N]`` int8 samples of x_0.
     """
-    if exact is None:
-        exact = schedule.exact_posterior
+    exact = _resolve_exact(schedule, exact)
     num = basis.shape[0]
     k_init, k_scan = jax.random.split(key)
     x_t = jax.random.bernoulli(k_init, 0.5, (num, num_qubits)).astype(jnp.int8)
@@ -192,8 +211,7 @@ def p_denoise(
     Returns:
       ``[B, N]`` int8 denoised samples of x_0.
     """
-    if exact is None:
-        exact = schedule.exact_posterior
+    exact = _resolve_exact(schedule, exact)
     num = basis.shape[0]
     ts = jnp.arange(t_star, 0, -1)
     x_t = noisy_bits.astype(jnp.int8)
@@ -334,8 +352,7 @@ def p_sample_grid(
     enumerates (circuit, basis, x) — still tiny for small N and modest
     circuit counts.
     """
-    if exact is None:
-        exact = schedule.exact_posterior
+    exact = _resolve_exact(schedule, exact)
     num_bases = 3**num_qubits
     g = 2**num_qubits
     num = basis.shape[0]
@@ -410,8 +427,7 @@ def sampler_distribution(
     Returns ``[3^N, 2^N]`` float32 outcome probabilities.
     """
     del key
-    if exact is None:
-        exact = schedule.exact_posterior
+    exact = _resolve_exact(schedule, exact)
     num_bases = 3**num_qubits
     g = 2**num_qubits
 

@@ -62,6 +62,31 @@ def state_fidelity(rho, sigma) -> jnp.ndarray:
     return (jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) / 2.0) ** 2
 
 
+def _pure_to_dm(psi: CArray) -> CArray:
+    """|ψ⟩ -> |ψ⟩⟨ψ| in the split-real representation."""
+    return CArray(
+        jnp.outer(psi.re, psi.re) + jnp.outer(psi.im, psi.im),
+        jnp.outer(psi.im, psi.re) - jnp.outer(psi.re, psi.im),
+    )
+
+
+def trace_distance(rho, sigma) -> jnp.ndarray:
+    """T(ρ,σ) = ½ tr|ρ−σ| = ½ Σ|λ_i(ρ−σ)|.
+
+    The second of the two headline metric families named by BASELINE.json
+    ("fidelity/trace-distance"); the reference computes only fidelity
+    (``multi_qubit_any_state/main.py:171``). Statevector arguments are
+    promoted to density matrices.
+    """
+    rho, sigma = as_carray(rho), as_carray(sigma)
+    if rho.ndim == 1:
+        rho = _pure_to_dm(rho)
+    if sigma.ndim == 1:
+        sigma = _pure_to_dm(sigma)
+    diff = CArray(rho.re - sigma.re, rho.im - sigma.im)
+    return 0.5 * jnp.sum(jnp.abs(ceigvalsh(diff)))
+
+
 def purity(rho) -> jnp.ndarray:
     """tr(ρ²) = Σ|ρ_ij|² for Hermitian ρ (reference ``reconstruct.py:70``)."""
     rho = as_carray(rho)

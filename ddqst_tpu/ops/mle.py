@@ -31,13 +31,19 @@ from ddqst_tpu.ops.pauli import all_basis_labels
 
 
 def bits_to_counts(bits: jnp.ndarray) -> jnp.ndarray:
-    """``[B, S, N]`` bit samples -> ``[B, 2^N]`` outcome counts."""
+    """``[B, S, N]`` bit samples -> ``[B, 2^N]`` outcome counts.
+
+    Histogram by scatter-add — O(B·S) work and O(B·2^N) output, with no
+    ``[B, S, 2^N]`` one-hot intermediate (at the N=10 shadow scale that
+    intermediate would be ~2 GB).
+    """
     b, s, n = bits.shape
     idx = jnp.sum(
         bits.astype(jnp.int32) * (1 << jnp.arange(n, dtype=jnp.int32)), axis=-1
-    )
-    onehot = idx[..., None] == jnp.arange(2**n, dtype=jnp.int32)
-    return jnp.sum(onehot.astype(jnp.float32), axis=1)
+    )  # [B, S]
+    out = jnp.zeros((b, 2**n), jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], idx.shape)
+    return out.at[rows, idx].add(1.0)
 
 
 def _povm_elements(
@@ -65,8 +71,9 @@ def make_mle(
     num_qubits: int,
     basis_labels: np.ndarray | None = None,
     readout_p: float = 0.0,
-    iterations: int = 600,
+    iterations: int = 4000,
     epsilon: float = 0.25,
+    tol: float = 3e-7,
 ):
     """Build a jitted MLE reconstructor for a fixed basis set.
 
@@ -77,6 +84,14 @@ def make_mle(
     rank-deficient empirical data (observed: fidelity 0.988 at 50
     iterations degrading to 0.68 at 150); the diluted map converges
     monotonically for ε < 1 at a modest iteration-count cost.
+
+    ``iterations`` is a cap, not a fixed count: the loop stops once the
+    Frobenius norm of the per-iteration ρ update falls below ``tol`` — an
+    adaptive convergence stop replacing the previous fixed 600 iterations
+    (which both overpaid on easy inputs and, measured on readout-noisy
+    GHZ-3 exact counts, stopped well short of the fixed point: fidelity
+    0.9979 at 600 vs 0.9995 at the default tol). Float32 ρ updates
+    quantise to zero at genuine convergence, so the loop always halts.
 
     Returns ``reconstruct(counts [B, 2^N]) -> rho`` (CArray). ``counts`` may
     be raw counts or frequencies (normalised internally per basis).
@@ -96,7 +111,12 @@ def make_mle(
         f = freqs.reshape(-1).astype(jnp.float32)  # [B*d], sums to B
         rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
 
-        def body(_, rho):
+        def cond(carry):
+            i, _, delta = carry
+            return (i < iterations) & (delta > tol)
+
+        def body(carry):
+            i, rho, _ = carry
             # tr(ρ Π_k) — real for Hermitian operands.
             p = jnp.einsum("ij,kij->k", rho.re, povm.re) + jnp.einsum(
                 "ij,kij->k", rho.im, povm.im
@@ -112,11 +132,18 @@ def make_mle(
             new = new.scale(jnp.where(ok, 1.0 / jnp.where(ok, tr, 1.0), 0.0))
             # If the update degenerated, keep the previous iterate.
             keep = ok & jnp.isfinite(new.re).all() & jnp.isfinite(new.im).all()
-            return CArray(
+            nxt = CArray(
                 jnp.where(keep, new.re, rho.re),
                 jnp.where(keep, new.im, rho.im),
             )
+            delta = jnp.sqrt(
+                jnp.sum((nxt.re - rho.re) ** 2 + (nxt.im - rho.im) ** 2)
+            )
+            return i + 1, nxt, delta
 
-        return jax.lax.fori_loop(0, iterations, body, rho0)
+        _, rho, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), rho0, jnp.float32(jnp.inf))
+        )
+        return rho
 
     return reconstruct

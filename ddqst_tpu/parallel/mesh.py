@@ -26,6 +26,47 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host entry point: ``jax.distributed.initialize`` wrapper.
+
+    The SURVEY §2.2 planned equivalent of a distributed comm backend (the
+    reference has none). On a multi-host TPU slice, call this once per
+    process before any other JAX API; ``jax.devices()`` then spans the
+    whole slice and :func:`make_mesh` lays the global mesh over it, with
+    collectives riding ICI.
+
+    Single-process runs (``num_processes`` in {None on a non-TPU-pod
+    environment, 1}) are a no-op returning False, so the call is safe to
+    leave in entry points unconditionally. On TPU pods all three arguments
+    may be None — JAX autodetects them from the runtime environment.
+    """
+    import os
+
+    if num_processes == 1:
+        return False
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+        and not any(
+            os.environ.get(v)
+            for v in ("JAX_COORDINATOR_ADDRESS",
+                      "MEGASCALE_COORDINATOR_ADDRESS")
+        )
+    ):
+        return False  # no coordinator configured — single-host run
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(
     data: int = -1, model: int = 1, devices=None
 ) -> Mesh:

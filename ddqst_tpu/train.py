@@ -14,8 +14,10 @@ Optimizers mirror the reference: AdamW lr 1e-4 (phases 2-3,
 
 Checkpointing goes beyond the reference's end-of-training
 ``torch.save(state_dict)`` (``RQC.../main.py:132``): orbax saves params +
-optimizer state + step + PRNG key at a configurable cadence with
-step-indexed resume (SURVEY.md §5 checkpoint/resume gap).
+optimizer state + step at a configurable cadence with step-indexed resume
+(SURVEY.md §5 checkpoint/resume gap). The PRNG key is NOT persisted —
+resumed runs deterministically replay epoch keys from the per-epoch
+``fold_in`` stream.
 """
 
 from __future__ import annotations

@@ -115,3 +115,29 @@ def test_sample_all_bases_shape(key):
     assert out.shape == (9, 7, 2)
     # Uniform logits -> roughly balanced bits.
     assert 0.3 < float(jnp.mean(out)) < 0.7
+
+def test_exact_sampler_rejects_linear_schedule(key):
+    """exact=True + linear schedule is mathematically inconsistent (the
+    linear family's cum_flip is the reference one-shot quirk, not a
+    cumulative flip probability) and must be rejected."""
+    import pytest
+
+    from ddqst_tpu.ops.schedules import linear_schedule
+
+    sched = linear_schedule(10)
+    basis = jnp.zeros((4,), jnp.int32)
+
+    def denoise_fn(x, t, b):
+        return jnp.zeros(x.shape + (2,), jnp.float32)
+
+    with pytest.raises(ValueError, match="one-shot quirk"):
+        diff.p_sample(key, denoise_fn, basis, 2, sched, exact=True)
+
+
+def test_diffusion_config_rejects_exact_linear():
+    import pytest
+
+    from ddqst_tpu.config import DiffusionConfig
+
+    with pytest.raises(ValueError, match="inconsistent"):
+        DiffusionConfig(schedule="linear", sampler="exact")

@@ -83,3 +83,24 @@ def test_get_metrics_ghz():
     assert float(p) == pytest.approx(1.0, abs=1e-5)
     assert float(s) == pytest.approx(0.0, abs=1e-4)
     assert float(e) == pytest.approx(1.0, abs=1e-4)  # GHZ half-cut = 1 bit
+
+
+def test_trace_distance_analytic():
+    # Identical states: 0. Orthogonal pure states: 1.
+    psi = states.bell_state()
+    assert float(metrics.trace_distance(psi, psi)) == pytest.approx(0.0, abs=1e-5)
+    e0 = np.array([1, 0, 0, 0], np.complex64)
+    e3 = np.array([0, 0, 0, 1], np.complex64)
+    assert float(metrics.trace_distance(e0, e3)) == pytest.approx(1.0, abs=1e-5)
+    # Pure vs maximally mixed in d=2: T = 1/2.
+    mixed = np.eye(2, dtype=np.complex64) / 2
+    plus = states.plus_state(1)
+    assert float(metrics.trace_distance(plus, mixed)) == pytest.approx(0.5, abs=1e-5)
+    # Fuchs–van de Graaf: 1 - sqrt(F) <= T <= sqrt(1 - F) on a random pair.
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    rho = a @ a.conj().T
+    rho = (rho / np.trace(rho)).astype(np.complex64)
+    f = float(metrics.state_fidelity(psi, rho))
+    t = float(metrics.trace_distance(psi, rho))
+    assert 1 - np.sqrt(f) - 1e-5 <= t <= np.sqrt(1 - f) + 1e-5

@@ -7,7 +7,7 @@ import pytest
 from ddqst_tpu.ops import metrics as M
 from ddqst_tpu.ops import mle, pauli
 from ddqst_tpu.qsim import measure, states
-from ddqst_tpu.ops.complexlib import from_complex
+from ddqst_tpu.ops.complexlib import from_complex, to_complex
 
 
 def _exact_counts(psi, num_qubits, shots, readout_p=0.0):
@@ -97,3 +97,25 @@ def test_readout_mitigated_linear_inversion(rng):
     )
     assert fid_mit > fid_plain
     assert fid_mit > 0.99
+
+def test_mle_early_stop_matches_full_run():
+    """The adaptive Frobenius-delta stop must land on (essentially) the same
+    fixed point as running the full iteration budget (tol=-1 disables the
+    stop: the delta can never go negative)."""
+    psi = states.ghz_state(2)
+    counts = _exact_counts(psi, 2, shots=200000)
+    rho_adaptive = mle.make_mle(2, iterations=3000)(counts)
+    rho_full = mle.make_mle(2, iterations=3000, tol=-1.0)(counts)
+    np.testing.assert_allclose(
+        to_complex(rho_adaptive), to_complex(rho_full), atol=1e-3
+    )
+    assert float(M.state_fidelity(psi, rho_adaptive)) > 0.995
+
+
+def test_bits_to_counts_scatter():
+    bits = jnp.asarray(
+        np.array([[[0, 0], [1, 1], [1, 1], [0, 1]]], np.int8)
+    )  # one basis, 4 shots
+    counts = np.asarray(mle.bits_to_counts(bits))
+    # little-endian: [0,0]->0, [1,1]->3, [0,1]->2 (qubit0=0, qubit1=1)
+    np.testing.assert_array_equal(counts, [[1.0, 0.0, 1.0, 2.0]])

@@ -106,3 +106,12 @@ def test_grid_sampler_sharded(key):
         lambda k, b: diff.p_sample_grid(k, fn, b, 2, s)
     )(key, basis)
     assert out.shape == (160, 2)
+
+def test_init_distributed_single_process_noop():
+    """Single-process runs (this environment) must be a safe no-op; the hook
+    completes SURVEY §2.2's jax.distributed entry point."""
+    from ddqst_tpu.parallel import init_distributed
+
+    assert init_distributed(num_processes=1) is False
+    # No multi-host coordinator env vars on this box -> autodetect no-ops.
+    assert init_distributed() is False

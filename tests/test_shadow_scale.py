@@ -104,6 +104,39 @@ def test_run_experiment_shadow_branch():
     )
     res = pipeline.run_experiment(cfg, seed=0, log_fn=lambda *a: None)
     assert res["fidelity"] is None
-    assert 0.0 <= res["mean_tv_distance"] <= 1.0
+    assert 0.0 <= res["mean_tv_to_target"] <= 1.0
+    assert 0.0 < res["tv_shot_noise_floor"] < 1.0
+    assert 0.0 <= res["meas_tv_to_target"] <= 1.0
+    assert 0.0 <= res["classical_fidelity"] <= 1.0 + 1e-6
+    assert res["mean_marginal_error"] >= 0.0
+    # Z...Z may or may not land in the 8 sampled shadow bases; when absent
+    # the diagnostic must be reported as missing (None), never fabricated.
+    assert res["z_bias"] is None or 0.0 <= res["z_bias"] <= 1.0
     assert res["samples"].shape == (8, 200, 7)
     assert np.isfinite(res["losses"]).all()
+
+
+def test_shadow_branch_rejects_packed_mlp_conditioning():
+    """film_mlp at shadow scale must auto-switch to the transformer (the MLP
+    would silently parse [B, N] labels as packed (basis, circuit))."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("shadow_transformer")
+    cfg = cfg.replace(
+        name="shadow_mlp_guard",
+        model=cfg.model.__class__(arch="film_mlp", embed_dim=16,
+                                  hidden_dim=32, num_blocks=1),
+        diffusion=cfg.diffusion.__class__(num_timesteps=5, schedule="cosine",
+                                          sampler="renoise"),
+        train=cfg.train.__class__(batch_size=256, learning_rate=2e-3,
+                                  optimizer="adam", num_epochs=2,
+                                  log_every=0, eval_every=0),
+        data=cfg.data.__class__(num_qubits=7, state_type="ghz",
+                                noise_type="ideal", shots_train=64,
+                                shots_infer=32, max_bases=4),
+    )
+    logs = []
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=logs.append)
+    assert any("transformer" in str(m) for m in logs)
+    assert res["samples"].shape == (4, 32, 7)
