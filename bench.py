@@ -97,6 +97,11 @@ def main() -> None:
         train=e2e.train.__class__(
             batch_size=1024, learning_rate=1e-3, optimizer="adam",
             num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
+            # Exact-chain distillation: descend the sampler's true output
+            # distribution against the training counts after CE training
+            # (train.finetune_chain) — closes the CE-surrogate bias that
+            # capped the generative pipeline at ~0.986 in round 1.
+            chain_finetune_steps=400, chain_lr=3e-4,
         ),
         data=e2e.data.__class__(
             num_qubits=3, state_type="ghz", noise_type="readout",

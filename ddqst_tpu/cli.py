@@ -38,6 +38,8 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_bases", type=int,
                    help="shadow cap on measured bases (0 = all 3^N)")
     p.add_argument("--mitigate_readout", action="store_true", default=None)
+    p.add_argument("--mitigate_train_data", action="store_true", default=None,
+                   help="train on readout-mitigated counts (quality path)")
     p.add_argument("--reconstruction", choices=["linear", "mle"])
     # Diffusion
     p.add_argument("--timesteps", type=int, dest="num_timesteps")
@@ -61,6 +63,10 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--optimizer", choices=["adamw", "adam", "sgd"])
     p.add_argument("--lr_schedule", choices=["constant", "cosine"])
     p.add_argument("--ema_decay", type=float)
+    p.add_argument("--chain_finetune_steps", type=int,
+                   help="exact-chain distillation steps after CE training "
+                        "(0 = off; see train.finetune_chain)")
+    p.add_argument("--chain_lr", type=float)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir")
     p.add_argument("--data_parallel", type=int, default=0,

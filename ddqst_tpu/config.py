@@ -67,6 +67,13 @@ class TrainConfig:
     # Per-epoch exponential moving average of params (0 = off). The final
     # state carries the EMA params - cuts late-training estimation noise.
     ema_decay: float = 0.0
+    # Exact-chain distillation (beyond-reference; see train.finetune_chain):
+    # after CE training, fine-tune the denoiser on the reverse chain's EXACT
+    # output distribution vs the training counts for this many full-batch
+    # Adam steps (0 = off). Only applies at small N with the full canonical
+    # basis set and infer_mode='generate'.
+    chain_finetune_steps: int = 0
+    chain_lr: float = 1e-4
     num_epochs: int = 300
     seed: int = 0
     eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)

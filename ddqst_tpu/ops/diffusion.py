@@ -403,13 +403,8 @@ def p_sample_grid(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("apply_fn", "num_qubits", "exact")
-)
-def sampler_distribution(
-    key: jax.Array,
-    apply_fn,
-    params,
+def chain_distribution(
+    denoise_fn: DenoiseFn,
     num_qubits: int,
     schedule: DiffusionSchedule,
     exact: bool | None = None,
@@ -421,12 +416,17 @@ def sampler_distribution(
     T[b, x, y] = Π_q p1[b,x,q]^{y_q} (1-p1)^{1-y_q}. Propagating the full
     distribution through T (2^N x 2^N matmuls per basis per step, on the
     MXU) yields the infinite-shot limit of :func:`sample_all_bases` with
-    ZERO generation shot noise — feed the result straight into MLE or
-    weighted linear inversion. ``key`` is unused (kept for API symmetry).
+    ZERO generation shot noise.
+
+    Everything here is smooth in the denoiser outputs, so this function is
+    DIFFERENTIABLE with respect to the parameters closed over by
+    ``denoise_fn`` — the lever behind exact-chain distillation
+    (:func:`ddqst_tpu.train.finetune_chain`), which fine-tunes the model on
+    the very distribution the sampler emits rather than the per-step CE
+    surrogate.
 
     Returns ``[3^N, 2^N]`` float32 outcome probabilities.
     """
-    del key
     exact = _resolve_exact(schedule, exact)
     num_bases = 3**num_qubits
     g = 2**num_qubits
@@ -438,9 +438,6 @@ def sampler_distribution(
     grid_x = jnp.tile(x_enum, (num_bases, 1))
     grid_basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), g)
     y_bits = x_enum.astype(jnp.float32)  # [2^N, N]
-
-    def denoise_fn(x, t, b):
-        return apply_fn(params, x, t, b)
 
     dist0 = jnp.full((num_bases, g), 1.0 / g, jnp.float32)
     ts = jnp.arange(schedule.num_timesteps, 0, -1)
@@ -462,6 +459,30 @@ def sampler_distribution(
 
     dist, _ = jax.lax.scan(step, dist0, ts)
     return dist
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "num_qubits", "exact")
+)
+def sampler_distribution(
+    key: jax.Array,
+    apply_fn,
+    params,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+) -> jnp.ndarray:
+    """Jitted :func:`chain_distribution` over (apply_fn, params).
+
+    ``key`` is unused (kept for API symmetry with the samplers). Feed the
+    result straight into MLE or weighted linear inversion.
+    """
+    del key
+
+    def denoise_fn(x, t, b):
+        return apply_fn(params, x, t, b)
+
+    return chain_distribution(denoise_fn, num_qubits, schedule, exact)
 
 
 @functools.partial(

@@ -363,6 +363,33 @@ def run_experiment(
         k_train, model, x, basis, cfg.train, schedule, mesh=mesh, log_fn=log_fn
     )
 
+    if cfg.train.chain_finetune_steps > 0:
+        full = 3**cfg.data.num_qubits
+        if cfg.diffusion.infer_mode == "generate" and len(data.basis_idx) == full:
+            # Exact-chain distillation (see train.finetune_chain): descend
+            # the sampler's true output distribution against the training
+            # counts — closes the CE-surrogate estimation bias.
+            log_fn(
+                f"[{cfg.name}] exact-chain distillation: "
+                f"{cfg.train.chain_finetune_steps} steps"
+            )
+            state, ft_losses = training.finetune_chain(
+                state, mle.bits_to_counts(data.bits), schedule,
+                cfg.data.num_qubits,
+                steps=cfg.train.chain_finetune_steps,
+                learning_rate=cfg.train.chain_lr,
+                exact=cfg.diffusion.exact,
+            )
+            log_fn(
+                f"[{cfg.name}] chain CE {float(ft_losses[0]):.5f} -> "
+                f"{float(ft_losses[-1]):.5f}"
+            )
+        else:
+            log_fn(
+                f"[{cfg.name}] WARNING: chain distillation skipped (needs "
+                "infer_mode='generate' and the full canonical basis set)"
+            )
+
     if cfg.diffusion.infer_mode == "denoise":
         # Explicit readout-channel inversion: reverse-diffuse the measured
         # shots from t* matched to the readout flip rate (p_denoise).

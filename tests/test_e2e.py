@@ -51,3 +51,65 @@ def test_rho_is_valid_state(bell_results):
     rho = bell_results["rho"]
     assert np.trace(rho).real == pytest.approx(1.0, abs=1e-4)
     assert np.linalg.eigvalsh(rho).min() > -1e-5
+
+def test_chain_distillation_closes_generative_gap():
+    """Exact-chain distillation (train.finetune_chain) must pull the
+    generative pipeline's fidelity up to (near) the raw-counts MLE level —
+    the round-2 headline mechanism (VERDICT item 1)."""
+    base = get_preset("rqc")
+    common = dict(
+        diffusion=base.diffusion.__class__(
+            num_timesteps=12, schedule="cosine", sampler="renoise"
+        ),
+        data=base.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="readout",
+            shots_train=1500, shots_infer=8000,
+            mitigate_readout=True, mitigate_train_data=True,
+            reconstruction="mle",
+        ),
+    )
+
+    def train_cfg(ft):
+        return base.train.__class__(
+            batch_size=512, learning_rate=1e-3, optimizer="adam",
+            num_epochs=25, lr_schedule="cosine", log_every=0, eval_every=0,
+            chain_finetune_steps=ft, chain_lr=5e-4,
+        )
+
+    logs = []
+    plain = pipeline.run_experiment(
+        base.replace(name="ce_only", train=train_cfg(0), **common),
+        seed=0, log_fn=lambda *a: None,
+    )
+    tuned = pipeline.run_experiment(
+        base.replace(name="distilled", train=train_cfg(100), **common),
+        seed=0, log_fn=lambda m: logs.append(str(m)),
+    )
+    assert any("chain CE" in m for m in logs)
+    assert tuned["fidelity"] > plain["fidelity"]
+    assert tuned["fidelity"] > 0.98, (plain["fidelity"], tuned["fidelity"])
+
+
+def test_chain_distillation_skipped_on_partial_bases():
+    """With a shadow basis cap the canonical-chain target is undefined —
+    the pipeline must skip distillation with a warning, not mis-train."""
+    base = get_preset("rqc")
+    cfg = base.replace(
+        name="ft_partial",
+        diffusion=base.diffusion.__class__(
+            num_timesteps=8, schedule="cosine", sampler="renoise"
+        ),
+        train=base.train.__class__(
+            batch_size=256, learning_rate=1e-3, optimizer="adam",
+            num_epochs=3, log_every=0, eval_every=0,
+            chain_finetune_steps=20,
+        ),
+        data=base.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="ideal",
+            shots_train=200, shots_infer=500, max_bases=5,
+        ),
+    )
+    logs = []
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=logs.append)
+    assert any("distillation skipped" in str(m) for m in logs)
+    assert np.isfinite(res["fidelity"])
