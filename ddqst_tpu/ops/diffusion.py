@@ -314,51 +314,31 @@ def _grid_p1_table(
     Bern(f)) has per-bit marginal p̂1(1-f) + (1-p̂1)f — bits are independent
     given the row, so the single-Bernoulli form is exactly equivalent in
     distribution.
+
+    ``t`` may be a scalar (one table) or a per-row ``[R]`` vector (stacked
+    tables for several timesteps at once).
     """
+    t = jnp.asarray(t)
+    beta = schedule.betas[t]
+    cum = schedule.cum_flip[jnp.maximum(t - 1, 0)]
+    f = jnp.where(t > 1, cum, 0.0)
+    if t.ndim:  # per-row timesteps broadcast over the qubit axis
+        beta, cum, f = beta[:, None], cum[:, None], f[:, None]
     if exact:
-        return _posterior_p1(
-            logits, x_bits, schedule.betas[t], schedule.cum_flip[t - 1]
-        )
+        return _posterior_p1(logits, x_bits, beta, cum)
     p1_hat = jax.nn.softmax(logits, axis=-1)[..., 1]
-    f = jnp.where(t > 1, schedule.cum_flip[t - 1], 0.0)
     return p1_hat * (1.0 - f) + (1.0 - p1_hat) * f
 
 
-def p_sample_grid(
-    key: jax.Array,
-    denoise_fn: DenoiseFn,
-    basis: jnp.ndarray,
-    num_qubits: int,
-    schedule: DiffusionSchedule,
-    exact: bool | None = None,
-    step_impl=None,
-    num_circuits: int = 0,
-) -> jnp.ndarray:
-    """Reverse diffusion via exhaustive-grid evaluation (small N).
+def _grid_enum(num_qubits: int, num_circuits: int = 0):
+    """Enumerate the (circuit ×) basis × bitstring conditioning grid.
 
-    TPU-first optimisation impossible in the reference's architecture: a
-    scan step's denoiser output depends only on (x_t, basis, t), and at
-    small N there are just 2^N x 3^N distinct inputs (216 at N=3). Each
-    step therefore runs the network once over the full grid and advances
-    every chain by a table lookup + independent Bernoulli draws — O(6^N)
-    model FLOPs per step instead of O(num_chains), a >600x compute cut for
-    the reference's 27x10,000-sample inference run (``main.py:150-159``).
-
-    ``step_impl(key, table [G, N], rows [B], powers) -> new_x_idx [B]``
-    optionally overrides the chain-update (e.g. the fused Pallas kernel).
-
-    With ``num_circuits > 0``, ``basis`` is a packed ``[B, 2]`` array of
-    (basis_idx, circuit_idx) (circuit-conditioned models) and the grid
-    enumerates (circuit, basis, x) — still tiny for small N and modest
-    circuit counts.
+    Returns ``(grid_x [Gtot, N] int8, grid_basis [Gtot] or [Gtot, 2])``
+    with row layout ``(circuit *) basis_idx * 2^N + x_index`` — shared by
+    the grid sampler, the table precompute, and the chain-walk kernels.
     """
-    exact = _resolve_exact(schedule, exact)
     num_bases = 3**num_qubits
     g = 2**num_qubits
-    num = basis.shape[0]
-    powers = 2 ** jnp.arange(num_qubits, dtype=jnp.int32)
-
-    # Grid enumeration: row = (circuit *) basis_idx * 2^N + x_index.
     x_enum = (
         (jnp.arange(g, dtype=jnp.int32)[:, None] >> jnp.arange(num_qubits))
         & 1
@@ -373,31 +353,125 @@ def p_sample_grid(
         grid_circ = jnp.repeat(
             jnp.arange(num_circuits, dtype=jnp.int32), num_bases * g
         )
-        grid_basis = jnp.stack([grid_basis_1d, grid_circ], axis=-1)
+        return grid_x, jnp.stack([grid_basis_1d, grid_circ], axis=-1)
+    return grid_x, grid_basis_1d
+
+
+def grid_p1_tables(
+    denoise_fn: DenoiseFn,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+    num_circuits: int = 0,
+) -> jnp.ndarray:
+    """Precompute P(bit=1) tables for EVERY (t, basis, x) in ONE forward.
+
+    The grid sampler's denoiser inputs are fully enumerable — (x_t, t,
+    basis) has T x 3^N x 2^N combinations (21,600 at N=3, T=100) — so all
+    T per-step tables come from a single batched model call that actually
+    fills the MXU, instead of T sequential tiny forwards inside the scan
+    (each latency-bound at grid size 6^N). After this, the reverse chain
+    is a pure table walk with zero model calls: the XLA walk in
+    :func:`p_sample_grid` (``precompute=True``) or the fully-fused Pallas
+    walk (:func:`ddqst_tpu.ops.pallas_kernels.fused_chain_walk`).
+
+    Returns ``[T, Gtot, N]`` float32, index 0 = the first reverse step
+    (t = T), matching the scan order of :func:`p_sample_grid`.
+    """
+    exact = _resolve_exact(schedule, exact)
+    t_steps = schedule.num_timesteps
+    grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
+    gtot = grid_x.shape[0]
+    ts = jnp.arange(t_steps, 0, -1)  # scan order: T, T-1, ..., 1
+    big_x = jnp.tile(grid_x, (t_steps, 1))
+    big_basis = (
+        jnp.tile(grid_basis, (t_steps, 1))
+        if grid_basis.ndim == 2
+        else jnp.tile(grid_basis, (t_steps,))
+    )
+    big_t = jnp.repeat(ts, gtot)
+    logits = denoise_fn(big_x, big_t, big_basis)  # [T*Gtot, N, 2]
+    p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
+    return p1.reshape(t_steps, gtot, num_qubits)
+
+
+def p_sample_grid(
+    key: jax.Array,
+    denoise_fn: DenoiseFn,
+    basis: jnp.ndarray,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+    step_impl=None,
+    num_circuits: int = 0,
+    precompute: bool = True,
+) -> jnp.ndarray:
+    """Reverse diffusion via exhaustive-grid evaluation (small N).
+
+    TPU-first optimisation impossible in the reference's architecture: a
+    scan step's denoiser output depends only on (x_t, basis, t), and at
+    small N there are just 2^N x 3^N distinct inputs (216 at N=3). With
+    ``precompute=True`` (default) ALL T per-step tables come from one
+    batched forward (:func:`grid_p1_tables`) that fills the MXU, and the
+    scan body is a pure table walk — O(T·6^N) model FLOPs in one dispatch
+    instead of T latency-bound grid forwards, and instead of O(T·chains)
+    FLOPs in the reference's per-chain design (``main.py:150-159``).
+
+    ``step_impl(key, table [G, N], rows [B], powers) -> new_x_idx [B]``
+    optionally overrides the chain-update (e.g. the fused Pallas step
+    kernel); for the fully-fused multi-step walk see
+    :func:`ddqst_tpu.ops.pallas_kernels.fused_chain_walk` via
+    :func:`sample_all_bases`.
+
+    With ``num_circuits > 0``, ``basis`` is a packed ``[B, 2]`` array of
+    (basis_idx, circuit_idx) (circuit-conditioned models) and the grid
+    enumerates (circuit, basis, x) — still tiny for small N and modest
+    circuit counts.
+    """
+    exact = _resolve_exact(schedule, exact)
+    num_bases = 3**num_qubits
+    g = 2**num_qubits
+    num = basis.shape[0]
+    powers = 2 ** jnp.arange(num_qubits, dtype=jnp.int32)
+
+    grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
+    if num_circuits > 0:
         row_base = (basis[:, 1] * num_bases + basis[:, 0]) * g
     else:
-        grid_basis = grid_basis_1d
         row_base = basis * g
 
     k_init, k_scan = jax.random.split(key)
     x_idx = jax.random.randint(k_init, (num,), 0, g, dtype=jnp.int32)
     ts = jnp.arange(schedule.num_timesteps, 0, -1)
 
-    def step(x_idx, t):
+    def walk_step(x_idx, t, table):
         kt = jax.random.fold_in(k_scan, t)
-        t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
-        logits = denoise_fn(grid_x, t_vec, grid_basis)  # [Gtot, N, 2]
-        table = _grid_p1_table(logits, grid_x, t, schedule, exact)
         rows = row_base + x_idx
         if step_impl is not None:
-            new_idx = step_impl(kt, table, rows, powers)
-        else:
-            p1 = table[rows]  # [B, N]
-            bits = (jax.random.uniform(kt, p1.shape) < p1).astype(jnp.int32)
-            new_idx = jnp.sum(bits * powers, axis=-1)
-        return new_idx, None
+            return step_impl(kt, table, rows, powers)
+        p1 = table[rows]  # [B, N]
+        bits = (jax.random.uniform(kt, p1.shape) < p1).astype(jnp.int32)
+        return jnp.sum(bits * powers, axis=-1)
 
-    x_idx, _ = jax.lax.scan(step, x_idx, ts)
+    if precompute:
+        tables = grid_p1_tables(
+            denoise_fn, num_qubits, schedule, exact, num_circuits
+        )  # [T, Gtot, N]
+
+        def step(x_idx, inp):
+            t, table = inp
+            return walk_step(x_idx, t, table), None
+
+        x_idx, _ = jax.lax.scan(step, x_idx, (ts, tables))
+    else:
+
+        def step(x_idx, t):
+            t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
+            logits = denoise_fn(grid_x, t_vec, grid_basis)  # [Gtot, N, 2]
+            table = _grid_p1_table(logits, grid_x, t, schedule, exact)
+            return walk_step(x_idx, t, table), None
+
+        x_idx, _ = jax.lax.scan(step, x_idx, ts)
     return (
         ((x_idx[:, None] >> jnp.arange(num_qubits)) & 1).astype(jnp.int8)
     )
@@ -487,7 +561,9 @@ def sampler_distribution(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("apply_fn", "num_qubits", "shots", "exact", "grid_mode"),
+    static_argnames=(
+        "apply_fn", "num_qubits", "shots", "exact", "grid_mode", "walk"
+    ),
 )
 def sample_all_bases(
     key: jax.Array,
@@ -498,6 +574,7 @@ def sample_all_bases(
     schedule: DiffusionSchedule,
     exact: bool | None = None,
     grid_mode: str = "auto",
+    walk: str = "auto",
 ) -> jnp.ndarray:
     """Generate ``shots`` samples for every canonical basis in ONE scan.
 
@@ -506,7 +583,15 @@ def sample_all_bases(
     scan body sees a ``[3^N * shots, N]`` batch — big enough to fill the
     MXU — and, when the (x, basis) grid is smaller than the chain count
     (``grid_mode='auto'``), switches to the exhaustive-grid sampler
-    (:func:`p_sample_grid`).
+    (:func:`p_sample_grid`: one batched table precompute + a table walk).
+
+    ``walk`` selects the grid-path chain-walk backend: ``'xla'`` (scan of
+    gather + Bernoulli draws) or ``'pallas'``
+    (:func:`~ddqst_tpu.ops.pallas_kernels.fused_chain_walk`: the whole
+    T-step walk in one kernel, chain state resident in VMEM). ``'auto'``
+    picks Pallas on TPU backends, XLA elsewhere (the Pallas interpreter's
+    PRNG returns zeros — hardware only; measured regime study in
+    RESULTS.md).
     """
     num_bases = 3**num_qubits
     basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), shots)
@@ -517,6 +602,27 @@ def sample_all_bases(
     use_grid = grid_mode == "on" or (
         grid_mode == "auto" and 6**num_qubits < num_bases * shots
     )
+    if walk == "auto":
+        walk = (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
+    if use_grid and walk == "pallas":
+        from ddqst_tpu.ops.pallas_kernels import fused_chain_walk
+
+        g = 2**num_qubits
+        tables = grid_p1_tables(denoise_fn, num_qubits, schedule, exact)
+        tables = tables.reshape(
+            schedule.num_timesteps, num_bases, g, num_qubits
+        )
+        k_init, k_seed = jax.random.split(key)
+        init = jax.random.randint(
+            k_init, (num_bases, shots), 0, g, dtype=jnp.int32
+        )
+        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, dtype=jnp.int32)
+        idx = fused_chain_walk(seed, tables, init, num_qubits)  # [B, S]
+        return (
+            ((idx[..., None] >> jnp.arange(num_qubits)) & 1).astype(jnp.int8)
+        )
     if use_grid:
         out = p_sample_grid(
             key, denoise_fn, basis, num_qubits, schedule, exact=exact

@@ -112,6 +112,104 @@ def fused_chain_step(
     return out[:b]
 
 
+def _chain_walk_kernel(
+    seed_ref, table_ref, init_ref, out_ref, *, num_qubits: int, g: int
+):
+    """One (basis-group, chain-tile, t) cell of the fused chain walk.
+
+    The grid iterates t innermost with the out block index fixed, so the
+    chain-state block stays resident in VMEM across ALL T reverse steps
+    (the matmul-accumulator pattern) — chain state touches HBM exactly
+    twice (init read, final write) instead of 2T times, and the whole walk
+    is ONE kernel launch instead of T.
+
+    The per-(t, group) table is tiny (2^N x N scalars) and lives in SMEM;
+    the probability lookup is an unrolled select-accumulate over the 2^N
+    outcomes per qubit — pure (8, 128)-shaped VPU ops, no gather.
+    """
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[...] = init_ref[...]
+
+    # Distinct stream per grid cell (prng_seed takes at most 2 values).
+    cell = (
+        pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    ) * pl.num_programs(2) + t
+    pltpu.prng_seed(seed_ref[0], cell)
+    x = out_ref[0, 0]  # [8, 128] int32 in [0, 2^N)
+    packed = jnp.zeros(x.shape, jnp.int32)
+    for q in range(num_qubits):
+        p1 = jnp.zeros(x.shape, jnp.float32)
+        for y in range(g):
+            p1 += jnp.where(x == y, table_ref[0, 0, y, q], 0.0)
+        rb = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+        # Top 24 bits -> uniform in [0, 1), exactly representable in f32
+        # (bitcast before the shift: arithmetic int32 >> smears the sign).
+        u = pltpu.bitcast(rb >> 8, jnp.int32).astype(jnp.float32) * (
+            1.0 / 16777216.0
+        )
+        packed += (u < p1).astype(jnp.int32) * (1 << q)
+    out_ref[0, 0] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("num_qubits",))
+def fused_chain_walk(
+    seed: jnp.ndarray,
+    tables: jnp.ndarray,
+    init_idx: jnp.ndarray,
+    num_qubits: int,
+) -> jnp.ndarray:
+    """Run the ENTIRE T-step reverse chain walk in one Pallas kernel.
+
+    Consumes the precomputed per-step probability tables
+    (:func:`ddqst_tpu.ops.diffusion.grid_p1_tables` reshaped per
+    conditioning row), so the walk needs zero model calls; chains are
+    grouped by conditioning row so each tile reads a single ``[2^N, N]``
+    table slice.
+
+    Args:
+      seed: int32 scalar.
+      tables: ``[T, C, 2^N, N]`` float32 — P(bit=1) per (step, conditioning
+        row, current outcome); index 0 = first reverse step (t = T).
+      init_idx: ``[C, S]`` int32 initial outcome indices (uniform noise).
+      num_qubits: N.
+
+    Returns:
+      ``[C, S]`` int32 final outcome indices (samples of x_0).
+    """
+    t_steps, c, g, n = tables.shape
+    s = init_idx.shape[1]
+    s_pad = _round_up(s, _TILE)
+    tiles = s_pad // _TILE
+    init_p = (
+        jnp.zeros((c, s_pad), jnp.int32)
+        .at[:, :s]
+        .set(init_idx)
+        .reshape(c, tiles, 8, 128)  # _TILE == 8 * 128
+    )
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _chain_walk_kernel, num_qubits=num_qubits, g=g
+        ),
+        grid=(c, tiles, t_steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec((1, 1, g, n), lambda b, sl, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),  # per-(t, group) table
+            pl.BlockSpec((1, 1, 8, 128), lambda b, sl, t: (b, sl, 0, 0),
+                         memory_space=pltpu.VMEM),  # init tile
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, sl, t: (b, sl, 0, 0),
+                               memory_space=pltpu.VMEM),  # chain state
+        out_shape=jax.ShapeDtypeStruct((c, tiles, 8, 128), jnp.int32),
+    )(seed_arr, tables, init_p)
+    return out.reshape(c, s_pad)[:, :s]
+
+
 def make_pallas_step_impl(num_qubits: int):
     """Adapter for :func:`p_sample_grid`'s ``step_impl`` hook."""
 

@@ -111,3 +111,45 @@ def test_pallas_fused_chain_step_padding():
     assert out.shape == (37,)
     expected = ((np.eye(g, n)[np.arange(37) % g]) * (1 << np.arange(n))).sum(1)
     np.testing.assert_array_equal(np.asarray(out), expected.astype(np.int32))
+
+def test_pallas_fused_chain_walk_interpret():
+    """Multi-step walk: table streaming, VMEM-resident state across t, and
+    init/unpack layout (interpreter mode; u = 0 makes bit q deterministic:
+    table[t, c, x, q] > 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ddqst_tpu.ops import pallas_kernels as pk
+
+    n, g, c, s_chains, t_steps = 2, 4, 3, 2100, 5
+    rng = np.random.default_rng(0)
+    tables_bits = rng.integers(0, 2, (t_steps, c, g, n))
+    tables = jnp.asarray(tables_bits.astype(np.float32))
+    init = rng.integers(0, g, (c, s_chains)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = pk.fused_chain_walk(jnp.int32(3), tables, jnp.asarray(init), n)
+    # numpy emulation of the deterministic walk
+    x = init.copy()
+    pows = 1 << np.arange(n)
+    for t in range(t_steps):
+        for ci in range(c):
+            x[ci] = (tables_bits[t, ci, x[ci]] * pows).sum(-1)
+    assert out.shape == (c, s_chains)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_grid_precompute_matches_sequential_distribution(key):
+    """precompute=True (one batched table forward) must be distributionally
+    identical to the per-step forward path."""
+    n = 2
+    s = schedules.cosine_schedule(15)
+
+    def fn(x, t, b):
+        tilt = (b % 3).astype(jnp.float32)[:, None] - 1.0
+        logit1 = (2.0 * x.astype(jnp.float32) - 1.0) * 1.5 + tilt
+        return jnp.stack([-logit1, logit1], axis=-1)
+
+    basis = jnp.repeat(jnp.arange(9, dtype=jnp.int32), 3000)
+    out_pre = diff.p_sample_grid(key, fn, basis, n, s, precompute=True)
+    out_seq = diff.p_sample_grid(key, fn, basis, n, s, precompute=False)
+    # Same key, same draws -> identical samples (tables are identical).
+    np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_seq))
