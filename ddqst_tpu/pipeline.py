@@ -368,7 +368,19 @@ def run_experiment(
         if cfg.diffusion.infer_mode == "generate" and len(data.basis_idx) == full:
             # Exact-chain distillation (see train.finetune_chain): descend
             # the sampler's true output distribution against the training
-            # counts — closes the CE-surrogate estimation bias.
+            # counts — closes the CE-surrogate estimation bias. When the
+            # raw (pre-mitigation) counts are available, match them through
+            # the readout channel instead: exact maximum likelihood of the
+            # measured data, statistically stronger than the clipped +
+            # resampled mitigated counts.
+            # Target = counts of the (mitigated) training bits. Two
+            # alternatives were measured on hardware and are NOT used:
+            # the unresampled mitigated distribution and channel-composed
+            # matching against raw counts both score slightly lower (see
+            # RESULTS.md "distillation target ablation") — the multiset
+            # resampling acts as implicit thresholding that sharpens the
+            # target, and per-basis deconvolution cannot express the
+            # cross-basis PSD constraint that gives raw-count MLE its edge.
             log_fn(
                 f"[{cfg.name}] exact-chain distillation: "
                 f"{cfg.train.chain_finetune_steps} steps"

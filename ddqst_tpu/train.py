@@ -186,6 +186,7 @@ def finetune_chain(
     steps: int = 300,
     learning_rate: float = 1e-4,
     exact: bool | None = None,
+    confusion=None,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -216,6 +217,17 @@ def finetune_chain(
       steps: full-batch Adam steps.
       exact: reverse rule, resolved exactly as at generation time — the
         distilled objective must match the sampler that will be used.
+      confusion: optional ``[2^N, 2^N]`` readout confusion matrix
+        (``M[i, j] = P(measure i | true j)``). When given, the chain's
+        CLEAN output distribution is pushed through the channel inside the
+        loss and matched against RAW noisy counts — exact maximum
+        likelihood of the measured data under the known channel (the same
+        statistically-optimal treatment as folding the confusion matrix
+        into the MLE POVM, :mod:`ddqst_tpu.ops.mle`). This beats training
+        against confusion-inverted ("mitigated") counts, whose clip +
+        resample steps destroy information: on RQC-3 at 20k shots the
+        mitigated-counts target itself caps at fidelity 0.9726 while raw
+        counts support 0.9907.
 
     Returns:
       (new_state, losses [steps]) — new_state carries the distilled params.
@@ -226,6 +238,7 @@ def finetune_chain(
 
     target = jnp.asarray(target_counts, jnp.float32)
     target = target / jnp.maximum(jnp.sum(target, -1, keepdims=True), 1e-9)
+    conf_t = None if confusion is None else jnp.asarray(confusion, jnp.float32).T
     tx = optax.adam(learning_rate)
 
     def loss_fn(params):
@@ -233,6 +246,8 @@ def finetune_chain(
             return state.apply_fn({"params": params}, x, t, b)
 
         dist = chain_distribution(denoise_fn, num_qubits, schedule, exact)
+        if conf_t is not None:
+            dist = dist @ conf_t  # p_meas(i) = sum_j M[i,j] p_clean(j)
         ce = -jnp.sum(target * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
         return jnp.mean(ce)
 

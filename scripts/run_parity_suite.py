@@ -113,6 +113,13 @@ def experiments():
         "ghz3_quality", num_qubits=3, state="ghz", shots_train=5000,
         shots_infer=50000, noise="readout",
     ), None, "BASELINE target: GHZ-3 >= 0.99 through the generative pipeline")
+    # RQC-3 at 5k shots is ceiling-limited by the data itself (MLE on raw
+    # ~0.985): a generic complex state needs more shots than GHZ for the
+    # same fidelity. 4x the shot budget lifts the ceiling past 0.99.
+    yield ("rqc3_quality_20k", quality_cfg(
+        "rqc3_quality_20k", num_qubits=3, state="rqc", shots_train=20000,
+        shots_infer=100000, noise="readout", depth=5,
+    ), None, "RQC-3 >= 0.99 demonstration at the shot budget that supports it")
 
 
 def main():
