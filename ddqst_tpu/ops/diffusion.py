@@ -273,8 +273,18 @@ def match_timestep(schedule: DiffusionSchedule, flip_prob: float) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("apply_fn", "shots", "exact")
+    jax.jit, static_argnames=("apply_fn", "num_qubits", "exact")
 )
+def _p_sample_flat(
+    key, apply_fn, params, flat_labels, num_qubits, schedule, exact
+):
+    def denoise_fn(x, t, lab):
+        return apply_fn(params, x, t, lab)
+
+    return p_sample(key, denoise_fn, flat_labels, num_qubits, schedule,
+                    exact=exact)
+
+
 def sample_for_bases(
     key: jax.Array,
     apply_fn,
@@ -283,6 +293,7 @@ def sample_for_bases(
     shots: int,
     schedule: DiffusionSchedule,
     exact: bool | None = None,
+    max_chains_per_call: int = 1 << 16,
 ) -> jnp.ndarray:
     """Generate ``shots`` samples per given basis-label row (shadow scale).
 
@@ -290,15 +301,32 @@ def sample_for_bases(
     the transformer denoiser, used when 3^N makes global indices / full
     enumeration infeasible (the shadow-sampled datasets of reference
     ``build_dataset.py:69-87``). Returns ``[B, shots, N]`` int8.
+
+    Generation is chunked into fixed-size jitted calls of at most
+    ``max_chains_per_call`` chains (one compile, reused): the scan keeps
+    per-step activations for the whole chain batch live in HBM, so a
+    single 100-bases x 5000-shots dispatch at N=10 would hold a ~15 GB
+    (padding-dominated) attention intermediate. 2^16 chains keep the peak
+    near 1 GB with no measurable throughput loss at transformer scale.
     """
     b, n = basis_labels.shape
     flat = jnp.repeat(basis_labels, shots, axis=0)  # [B*shots, N]
-
-    def denoise_fn(x, t, lab):
-        return apply_fn(params, x, t, lab)
-
-    out = p_sample(key, denoise_fn, flat, n, schedule, exact=exact)
-    return out.reshape(b, shots, n)
+    total = b * shots
+    if total <= max_chains_per_call:
+        out = _p_sample_flat(key, apply_fn, params, flat, n, schedule, exact)
+        return out.reshape(b, shots, n)
+    chunk = max_chains_per_call
+    pad_total = -(-total // chunk) * chunk
+    flat = jnp.pad(flat, ((0, pad_total - total), (0, 0)))
+    outs = [
+        _p_sample_flat(
+            jax.random.fold_in(key, i), apply_fn, params,
+            jax.lax.dynamic_slice_in_dim(flat, i * chunk, chunk, 0),
+            n, schedule, exact,
+        )
+        for i in range(pad_total // chunk)
+    ]
+    return jnp.concatenate(outs)[:total].reshape(b, shots, n)
 
 
 def _grid_p1_table(

@@ -281,11 +281,11 @@ def _run_shadow_experiment(
     tv_meas = 0.5 * np.abs(meas_p - exact_p).sum(-1)
     # Shot-noise floor: TV an ideal sampler would score at this shot count.
     rng = np.random.default_rng(0)
+    exact64 = exact_p.astype(np.float64)
+    exact64 /= exact64.sum(-1, keepdims=True)  # exact f64 simplex for pvals
     floor = np.mean([
-        0.5 * np.abs(
-            rng.multinomial(shots_gen, p / p.sum()) / shots_gen - p
-        ).sum()
-        for p in exact_p
+        0.5 * np.abs(rng.multinomial(shots_gen, p) / shots_gen - p).sum()
+        for p in exact64
         for _ in range(4)
     ])
     # Per-qubit marginals: E[x_q] under generated vs exact distributions.
