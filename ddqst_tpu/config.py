@@ -16,7 +16,7 @@ from typing import Any
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    arch: str = "film_mlp"  # 'film_mlp' | 'transformer'
+    arch: str = "film_mlp"  # 'film_mlp' | 'plain_mlp' | 'transformer'
     input_encoding: str = "float"  # 'float' (phases 1-3) | 'token' (phase 4)
     embed_dim: int = 64
     hidden_dim: int = 512
@@ -32,7 +32,7 @@ class ModelConfig:
 @dataclasses.dataclass(frozen=True)
 class DiffusionConfig:
     num_timesteps: int = 100
-    schedule: str = "linear"  # 'linear' (phases 1-3) | 'cosine' (phase 4)
+    schedule: str = "linear"  # 'linear' (phases 1-3) | 'cosine' (phase 4) | 'notebook' (phase-1 nb)
     # Reverse-step rule: 'auto' follows the schedule's reference-parity
     # default (linear->renoise, cosine->exact posterior); 'renoise' is the
     # quality path (see ops.diffusion.p_sample docstring).
@@ -44,12 +44,12 @@ class DiffusionConfig:
     infer_mode: str = "generate"  # 'generate' | 'denoise'
 
     def __post_init__(self):
-        if self.schedule == "linear" and self.sampler == "exact":
+        if self.schedule != "cosine" and self.sampler == "exact":
             raise ValueError(
-                "sampler='exact' is inconsistent with schedule='linear' "
-                "(the linear family's cum_flip is the reference's one-shot "
-                "quirk, not a cumulative flip probability); use "
-                "sampler='renoise' or schedule='cosine'"
+                f"sampler='exact' is inconsistent with schedule="
+                f"{self.schedule!r} (that family's cum_flip is the "
+                "reference's one-shot quirk, not a cumulative flip "
+                "probability); use sampler='renoise' or schedule='cosine'"
             )
 
     @property
@@ -142,6 +142,29 @@ PRESETS: dict[str, ExperimentConfig] = {
         train=dict(batch_size=512, learning_rate=1e-4, num_epochs=200),
         data=dict(num_qubits=1, state_type="plus", noise_type="readout",
                   shots_train=1024, shots_infer=10000),
+    ),
+    # Phase-1 notebook exact architectures (two-model comparison, cells
+    # 6/12): plain concat-MLPs with the notebook's own p_stay=linspace(1,.5)
+    # schedule and Adam 1e-3; synthetic samples = training shots.
+    "notebook_simple": _cfg(
+        name="notebook_simple",
+        model=dict(arch="plain_mlp", embed_dim=32, hidden_dim=128,
+                   num_blocks=2),
+        diffusion=dict(num_timesteps=100, schedule="notebook"),
+        train=dict(batch_size=512, learning_rate=1e-3, optimizer="adam",
+                   num_epochs=200),
+        data=dict(num_qubits=1, state_type="plus", noise_type="readout",
+                  shots_train=1024, shots_infer=1024),
+    ),
+    "notebook_upgraded": _cfg(
+        name="notebook_upgraded",
+        model=dict(arch="plain_mlp", embed_dim=128, hidden_dim=256,
+                   num_blocks=3),
+        diffusion=dict(num_timesteps=100, schedule="notebook"),
+        train=dict(batch_size=128, learning_rate=1e-3, optimizer="adam",
+                   num_epochs=300),
+        data=dict(num_qubits=1, state_type="plus", noise_type="readout",
+                  shots_train=1024, shots_infer=1024),
     ),
     # Phase 2 (multi_qubit_special_states/config.py:3-24).
     "special_states": _cfg(

@@ -116,6 +116,45 @@ class ConditionalD3PM(nn.Module):
         return out.reshape(b, self.num_qubits, 2).astype(jnp.float32)
 
 
+class PlainMLP(nn.Module):
+    """The phase-1 notebook MLP family (``SimpleMLP`` / ``UpgradedMLP``).
+
+    ``concat(float bits, time_emb, basis_emb)`` → ``num_blocks`` ×
+    [Dense(H), ReLU] → Dense(N·2) logits — no FiLM, no residuals
+    (reference ``single_qubit_phase/denoising-with-diffusion-phase-1.ipynb``
+    cell 6 ``SimpleMLP``: embed 32, hidden 128, 2 hidden layers; cell 12
+    ``UpgradedMLP``: embed 128, hidden 256, 3 hidden layers). Generalised
+    from the notebook's single bit to N-qubit bitstrings the same way the
+    reference's own phase-2 model generalised it (float-bit projection).
+    """
+
+    num_qubits: int
+    num_bases: int
+    num_timesteps: int
+    embed_dim: int = 32
+    hidden_dim: int = 128
+    num_blocks: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, basis_idx):
+        b = x.shape[0]
+        if basis_idx.ndim == 2:  # packed (basis, circuit) — no circuit emb
+            basis_idx = basis_idx[..., 0]
+        t_emb = nn.Embed(self.num_timesteps + 1, self.embed_dim,
+                         dtype=self.dtype, name="time_emb")(t)
+        b_emb = nn.Embed(self.num_bases, self.embed_dim, dtype=self.dtype,
+                         name="basis_emb")(basis_idx)
+        h = jnp.concatenate([x.astype(self.dtype), t_emb, b_emb], axis=-1)
+        for i in range(self.num_blocks):
+            h = nn.relu(
+                nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"fc_{i}")(h)
+            )
+        out = nn.Dense(self.num_qubits * 2, dtype=self.dtype,
+                       name="output_head")(h)
+        return out.reshape(b, self.num_qubits, 2).astype(jnp.float32)
+
+
 def build_model(
     cfg: ModelConfig, num_qubits: int, num_timesteps: int,
     num_circuits: int = 0,
@@ -136,6 +175,18 @@ def build_model(
             num_blocks=cfg.num_blocks,
             input_encoding=cfg.input_encoding,
             num_circuits=num_circuits,
+            dtype=dtype,
+        )
+    if cfg.arch == "plain_mlp":
+        if num_circuits > 0:
+            raise ValueError("plain_mlp does not support circuit conditioning")
+        return PlainMLP(
+            num_qubits=num_qubits,
+            num_bases=3**num_qubits,
+            num_timesteps=num_timesteps,
+            embed_dim=cfg.embed_dim,
+            hidden_dim=cfg.hidden_dim,
+            num_blocks=cfg.num_blocks,
             dtype=dtype,
         )
     if cfg.arch == "transformer":

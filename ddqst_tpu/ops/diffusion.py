@@ -89,11 +89,11 @@ def _resolve_exact(schedule: DiffusionSchedule, exact: bool | None) -> bool:
     """
     if exact is None:
         return schedule.exact_posterior
-    if exact and schedule.kind == "linear":
+    if exact and schedule.kind != "cosine":
         raise ValueError(
-            "exact posterior requires a cumulative schedule; the linear "
-            "family's cum_flip is the reference's one-shot quirk (use "
-            "sampler='renoise' or the cosine schedule)"
+            "exact posterior requires a cumulative schedule; the "
+            f"{schedule.kind!r} family's cum_flip is the reference's "
+            "one-shot quirk (use sampler='renoise' or the cosine schedule)"
         )
     return exact
 

@@ -103,6 +103,27 @@ def linear_schedule(num_timesteps: int) -> DiffusionSchedule:
     )
 
 
+def notebook_schedule(num_timesteps: int) -> DiffusionSchedule:
+    """Phase-1 notebook schedule (SimpleMLP/UpgradedMLP runs).
+
+    The notebook builds ``p_stay = linspace(1.0, 0.5, T+1)`` and uses
+    ``Q[t] = [[p, 1-p], [1-p, p]]`` directly on x_0 — the same one-shot
+    (non-cumulative) semantics as phases 2–3 but with flip probability
+    ``betas = 1 - p_stay`` running 0 → 0.5 instead of 0.001 → 0.5
+    (reference ``single_qubit_phase/denoising-with-diffusion-phase-1.ipynb``
+    cell 6, ``BitstringDDM.__init__``).
+    """
+    p_stay = jnp.linspace(1.0, 0.5, num_timesteps + 1, dtype=jnp.float32)
+    betas = 1.0 - p_stay
+    return DiffusionSchedule(
+        betas=betas,
+        cum_flip=betas,
+        num_timesteps=num_timesteps,
+        kind="notebook",
+        exact_posterior=False,
+    )
+
+
 def cosine_betas(num_timesteps: int) -> np.ndarray:
     """Cosine betas exactly as the reference computes them.
 
@@ -131,6 +152,8 @@ def cosine_schedule(num_timesteps: int) -> DiffusionSchedule:
 def make_schedule(kind: str, num_timesteps: int) -> DiffusionSchedule:
     if kind == "linear":
         return linear_schedule(num_timesteps)
+    if kind == "notebook":
+        return notebook_schedule(num_timesteps)
     if kind == "cosine":
         return cosine_schedule(num_timesteps)
     raise ValueError(f"unknown schedule kind: {kind!r}")

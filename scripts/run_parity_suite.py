@@ -36,19 +36,20 @@ import time
 
 def parity_cfg(name, *, num_qubits, state, shots_train, shots_infer,
                noise="readout", epochs=300, batch=256, embed=64, hidden=512,
-               blocks=4, depth=5):
+               blocks=4, depth=5, arch="film_mlp", schedule="linear",
+               lr=1e-4, optimizer="adamw"):
     from ddqst_tpu.config import get_preset
 
     base = get_preset("special_states")
     return base.replace(
         name=name,
-        model=base.model.__class__(embed_dim=embed, hidden_dim=hidden,
-                                   num_blocks=blocks),
+        model=base.model.__class__(arch=arch, embed_dim=embed,
+                                   hidden_dim=hidden, num_blocks=blocks),
         diffusion=base.diffusion.__class__(num_timesteps=100,
-                                           schedule="linear",
+                                           schedule=schedule,
                                            sampler="renoise"),
-        train=base.train.__class__(batch_size=batch, learning_rate=1e-4,
-                                   optimizer="adamw", num_epochs=epochs,
+        train=base.train.__class__(batch_size=batch, learning_rate=lr,
+                                   optimizer=optimizer, num_epochs=epochs,
                                    log_every=0, eval_every=0),
         data=base.data.__class__(num_qubits=num_qubits, state_type=state,
                                  noise_type=noise, shots_train=shots_train,
@@ -87,6 +88,21 @@ def experiments():
         shots_infer=10000, noise="readout", epochs=200, batch=512,
         embed=64, hidden=256, blocks=2,
     ), 0.918919, "notes.pdf Table 2 (UpgradedMLP 202 epochs); classical 0.917969")
+    # Notebook two-model comparison (cells 6/12): the exact SimpleMLP and
+    # UpgradedMLP architectures + the notebook's own p_stay=linspace(1,0.5)
+    # schedule, Adam 1e-3, synthetic samples = training shots (1024).
+    yield ("phase1_simple_mlp", parity_cfg(
+        "phase1_simple_mlp", num_qubits=1, state="plus", shots_train=1024,
+        shots_infer=1024, noise="readout", epochs=200, batch=512,
+        embed=32, hidden=128, blocks=2, arch="plain_mlp",
+        schedule="notebook", lr=1e-3, optimizer="adam",
+    ), 0.909180, "notebook cell 16 (SimpleMLP, 200 epochs)")
+    yield ("phase1_upgraded_mlp", parity_cfg(
+        "phase1_upgraded_mlp", num_qubits=1, state="plus", shots_train=1024,
+        shots_infer=1024, noise="readout", epochs=300, batch=128,
+        embed=128, hidden=256, blocks=3, arch="plain_mlp",
+        schedule="notebook", lr=1e-3, optimizer="adam",
+    ), 0.918919, "notes.pdf Table 2 (UpgradedMLP, 202 epochs)")
     yield ("phase2_bell", parity_cfg(
         "phase2_bell", num_qubits=2, state="bell", shots_train=5000,
         shots_infer=10000, noise="ideal",

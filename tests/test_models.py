@@ -113,3 +113,33 @@ def test_bfloat16_compute_path(key):
     assert out.dtype == jnp.float32  # logits upcast at the head
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == jnp.float32  # params stay f32
+
+def test_plain_mlp_shapes_and_param_parity(key):
+    """PlainMLP mirrors the notebook SimpleMLP: for N=1, embed 32, hidden
+    128, 2 hidden layers, the torch model has
+    (65*128+128) + (128*128+128) + (128*2+2) + (101*32) + (3*32) MLP+embed
+    params (notebook cell 6)."""
+    from ddqst_tpu.models import PlainMLP
+
+    model = PlainMLP(num_qubits=1, num_bases=3, num_timesteps=100,
+                     embed_dim=32, hidden_dim=128, num_blocks=2)
+    params, out = _init_and_apply(model, key, 1)
+    assert out.shape == (4, 1, 2)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    expected = (65 * 128 + 128) + (128 * 128 + 128) + (128 * 2 + 2) \
+        + 101 * 32 + 3 * 32
+    assert n_params == expected
+
+
+def test_plain_mlp_build_and_conditioning(key):
+    cfg = ModelConfig(arch="plain_mlp", embed_dim=8, hidden_dim=16,
+                      num_blocks=2)
+    model = build_model(cfg, 2, 10)
+    x = jnp.zeros((2, 2), dtype=jnp.int8)
+    t = jnp.ones((2,), dtype=jnp.int32)
+    params = model.init(key, x, t, jnp.zeros((2,), jnp.int32))
+    out_b0 = model.apply(params, x, t, jnp.array([0, 0]))
+    out_b1 = model.apply(params, x, t, jnp.array([1, 1]))
+    assert not np.allclose(out_b0, out_b1)
+    with pytest.raises(ValueError):
+        build_model(cfg, 2, 10, num_circuits=5)

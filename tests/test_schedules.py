@@ -95,3 +95,24 @@ def test_schedule_is_pytree():
     mapped = __import__("jax").tree_util.tree_map(lambda x: x * 1.0, s)
     assert mapped.num_timesteps == 50
     assert jnp.allclose(mapped.betas, s.betas)
+
+
+def test_notebook_schedule_matches_torch_construction():
+    """betas == 1 - linspace(1.0, 0.5) as torch builds Q (notebook cell 6)."""
+    sched = schedules.make_schedule("notebook", 100)
+    p_stay = torch.linspace(1.0, 0.5, 101)
+    np.testing.assert_allclose(
+        np.asarray(sched.betas), (1.0 - p_stay).numpy(), atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sched.cum_flip), np.asarray(sched.betas)
+    )
+    assert sched.kind == "notebook" and not sched.exact_posterior
+
+
+def test_notebook_schedule_rejects_exact_posterior():
+    from ddqst_tpu.ops.diffusion import _resolve_exact
+
+    sched = schedules.make_schedule("notebook", 10)
+    with pytest.raises(ValueError):
+        _resolve_exact(sched, True)
