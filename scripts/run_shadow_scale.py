@@ -1,0 +1,95 @@
+"""N=10 shadow-transformer experiments (BASELINE config-5 scale).
+
+Runs the ``shadow_transformer`` preset (RQC depth 8 at N=10, 100 shadow
+bases x 1024 shots — the scale regime of reference
+``RQC_dataset_building_phase/build_dataset.py:69-87``) with configurable
+training budget / model size, and records the exact-Born-probability
+metrics produced by ``pipeline._run_shadow_experiment``.
+
+Context (RESULTS.md): at this scale the three reference points are
+  - tv_shot_noise_floor ~ 0.118  (ideal sampler at 5,000 generated shots)
+  - meas_tv_to_target   ~ 0.264  (the noisy 1024-shot training data itself)
+  - round-2 initial model TV 0.396 (150 epochs) — i.e. the model underfits:
+    even memorising the empirical counts would score ~0.29.
+
+Usage:
+  env PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_shadow_scale.py \
+      --tag long --epochs 500 --embed 256 --hidden 1024 --blocks 6 \
+      [--out examples/results_shadow.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", required=True)
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--embed", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--ema", type=float, default=0.0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--shots_infer", type=int, default=5000)
+    ap.add_argument("--mitigate", action="store_true",
+                    help="train on readout-mitigated counts")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="examples/results_shadow.jsonl")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    base = get_preset("shadow_transformer")
+    cfg = base.replace(
+        name=f"shadow_{args.tag}",
+        model=base.model.__class__(
+            arch="transformer", input_encoding="token",
+            embed_dim=args.embed, hidden_dim=args.hidden,
+            num_blocks=args.blocks, num_heads=args.heads,
+        ),
+        train=base.train.__class__(
+            batch_size=args.batch, learning_rate=args.lr, optimizer="adam",
+            num_epochs=args.epochs, lr_schedule="cosine",
+            ema_decay=args.ema, log_every=0, eval_every=0,
+        ),
+        data=base.data.__class__(
+            num_qubits=10, state_type="rqc", noise_type="readout",
+            shots_train=1024, shots_infer=args.shots_infer, rqc_depth=8,
+            max_bases=100, mitigate_readout=args.mitigate,
+            mitigate_train_data=args.mitigate,
+        ),
+    )
+    t0 = time.perf_counter()
+    res = pipeline.run_experiment(cfg, seed=args.seed)
+    rec = {
+        "tag": args.tag,
+        "epochs": args.epochs,
+        "model": [args.embed, args.hidden, args.blocks, args.heads],
+        "ema": args.ema,
+        "mitigate": args.mitigate,
+        "seed": args.seed,
+        "shots_infer": args.shots_infer,
+        "mean_tv_to_target": round(res["mean_tv_to_target"], 5),
+        "tv_shot_noise_floor": round(res["tv_shot_noise_floor"], 5),
+        "meas_tv_to_target": round(res["meas_tv_to_target"], 5),
+        "mean_marginal_error": round(res["mean_marginal_error"], 5),
+        "classical_fidelity": round(res["classical_fidelity"], 5),
+        "z_bias": res["z_bias"],
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
