@@ -143,3 +143,25 @@ def test_plain_mlp_build_and_conditioning(key):
     assert not np.allclose(out_b0, out_b1)
     with pytest.raises(ValueError):
         build_model(cfg, 2, 10, num_circuits=5)
+
+
+def test_every_preset_builds_model_and_schedule(key):
+    """Config-drift guard: each preset's (arch, schedule, sampler) triple
+    must construct and run one forward on tiny inputs."""
+    from ddqst_tpu.config import PRESETS
+    from ddqst_tpu.ops.schedules import make_schedule
+
+    for name, cfg in PRESETS.items():
+        sched = make_schedule(cfg.diffusion.schedule, 8)
+        _ = cfg.diffusion.exact  # sampler-string validation
+        n = min(cfg.data.num_qubits, 4)
+        model = build_model(cfg.model, n, 8)
+        x = jnp.zeros((2, n), dtype=jnp.int8)
+        t = jnp.ones((2,), dtype=jnp.int32)
+        b = (jnp.zeros((2, n), jnp.int32)
+             if cfg.model.arch == "transformer"
+             else jnp.zeros((2,), jnp.int32))
+        params = model.init(key, x, t, b)
+        out = model.apply(params, x, t, b)
+        assert out.shape == (2, n, 2), name
+        assert sched.num_timesteps == 8, name
