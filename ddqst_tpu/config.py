@@ -204,7 +204,12 @@ PRESETS: dict[str, ExperimentConfig] = {
         name="shadow_transformer",
         model=dict(arch="transformer", input_encoding="token", embed_dim=128,
                    hidden_dim=512, num_blocks=4, num_heads=4),
-        diffusion=dict(num_timesteps=100, schedule="cosine"),
+        # sampler='renoise' (not the phase-4 parity 'exact'): the shadow
+        # route is beyond-reference, and at N=10 the factorised exact
+        # posterior's product-of-marginals error dominates (TV 0.446 vs
+        # 0.213 renoise at the same budget — RESULTS.md "N=10 shadow").
+        diffusion=dict(num_timesteps=100, schedule="cosine",
+                       sampler="renoise"),
         train=dict(batch_size=1024, learning_rate=1e-3, optimizer="adam",
                    num_epochs=30),
         data=dict(num_qubits=10, state_type="rqc", noise_type="readout",

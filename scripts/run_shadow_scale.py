@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--shots_infer", type=int, default=5000)
+    ap.add_argument("--sampler", default=None,
+                    choices=["auto", "exact", "renoise"],
+                    help="reverse-sampler rule (default: preset's, renoise)")
     ap.add_argument("--mitigate", action="store_true",
                     help="train on readout-mitigated counts")
     ap.add_argument("--seed", type=int, default=0)
@@ -51,6 +54,10 @@ def main():
     base = get_preset("shadow_transformer")
     cfg = base.replace(
         name=f"shadow_{args.tag}",
+        diffusion=base.diffusion.__class__(
+            num_timesteps=100, schedule="cosine",
+            sampler=args.sampler or base.diffusion.sampler,
+        ),
         model=base.model.__class__(
             arch="transformer", input_encoding="token",
             embed_dim=args.embed, hidden_dim=args.hidden,
@@ -75,6 +82,7 @@ def main():
         "epochs": args.epochs,
         "model": [args.embed, args.hidden, args.blocks, args.heads],
         "ema": args.ema,
+        "sampler": cfg.diffusion.sampler,
         "mitigate": args.mitigate,
         "seed": args.seed,
         "shots_infer": args.shots_infer,
