@@ -64,8 +64,11 @@ class TrainConfig:
     optimizer: str = "adamw"  # 'adamw' (phases 2-3) | 'adam' (phase 4)
     lr_schedule: str = "constant"  # 'constant' (reference) | 'cosine'
     t_max: int = 0  # restrict training timesteps to [1, t_max]; 0 = full T
-    # Per-epoch exponential moving average of params (0 = off). The final
-    # state carries the EMA params - cuts late-training estimation noise.
+    # Per-epoch exponential moving average of params (0 = off), zero-init
+    # + debiased (Adam-style) so early epochs never dominate long runs.
+    # The final state carries the EMA params - cuts late-training
+    # estimation noise. NOTE the decay is per EPOCH: pick d so the horizon
+    # 1/(1-d) is a fraction of num_epochs (e.g. 0.99 for 500 epochs).
     ema_decay: float = 0.0
     # Exact-chain distillation (beyond-reference; see train.finetune_chain):
     # after CE training, fine-tune the denoiser on the reverse chain's EXACT

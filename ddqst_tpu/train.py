@@ -316,6 +316,7 @@ def fit(
 
     losses = []
     ema_params = None
+    ema_epochs = 0
     ema_update = None
     if cfg.ema_decay > 0:
         d = cfg.ema_decay
@@ -332,12 +333,17 @@ def fit(
             batch_sharding=batch_sharding, t_max=cfg.t_max,
         )
         if ema_update is not None:
-            # First epoch: seed the EMA with a fresh copy (state is donated
-            # back into _run_epoch, so aliasing its buffers would dangle).
+            # Zero-initialised EMA, debiased at the end (Adam-style): a
+            # first-epoch-seeded EMA keeps weight d^(E-1) on the nearly
+            # untrained epoch-1 params — at d=0.999 over 500 epochs that is
+            # 61% of the average (measured to *hurt* quality: the N=10
+            # renoise500_big run scored TV 0.405 vs 0.213 without EMA).
             ema_params = ema_update(
-                state.params if ema_params is None else ema_params,
+                jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                if ema_params is None else ema_params,
                 state.params,
             )
+            ema_epochs += 1
         losses.append(loss)
         if cfg.log_every and (epoch + 1) % cfg.log_every == 0:
             log_fn(
@@ -361,7 +367,10 @@ def fit(
 
                 save_checkpoint(cfg.checkpoint_dir, state, epoch + 1)
     if ema_params is not None:
-        state = state.replace(params=ema_params)
+        debias = 1.0 / (1.0 - cfg.ema_decay**ema_epochs)
+        state = state.replace(
+            params=jax.tree_util.tree_map(lambda a: a * debias, ema_params)
+        )
     if cfg.checkpoint_dir:
         from ddqst_tpu.utils.checkpoint import save_checkpoint
 

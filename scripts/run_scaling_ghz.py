@@ -1,0 +1,89 @@
+"""Scaling demonstration: full density-matrix reconstruction beyond N=3.
+
+The reference's full-reconstruction protocol stops at N=3 GHZ (27 bases,
+``multi_qubit_special_states/main.py:109-134``; notes.pdf Table 3 reports
+Bell-2 and GHZ-3 only). This script runs the same protocol — all 3^N
+canonical bases, quality stack (cosine + renoise + mitigated training +
+exact-chain distillation + noise-aware MLE) — at N=4 and N=5, where the
+basis count (81 / 243), the Pauli expansion (256 / 1024 coefficients) and
+the per-basis generation volume stress every stage of the pipeline.
+
+Usage:
+  env PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_scaling_ghz.py \
+      [--out examples/results_scaling.jsonl] [--only TAG]
+
+Appends one JSON line per experiment (rerun-safe: finished tags skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def experiments():
+    from run_parity_suite import quality_cfg
+
+    # (tag, cfg, note). shots_infer shrinks with N to bound the generated
+    # sample volume (bases x shots_infer): 27x50k / 81x30k / 243x20k.
+    yield ("ghz4_quality", quality_cfg(
+        "ghz4_quality", num_qubits=4, state="ghz", shots_train=5000,
+        shots_infer=30000, noise="readout",
+    ), "GHZ-4: 81 bases x 5,000 shots (reference protocol, one N beyond)")
+    yield ("w4_quality", quality_cfg(
+        "w4_quality", num_qubits=4, state="w", shots_train=5000,
+        shots_infer=30000, noise="readout",
+    ), "W-4: 81 bases x 5,000 shots")
+    yield ("ghz5_quality", quality_cfg(
+        "ghz5_quality", num_qubits=5, state="ghz", shots_train=5000,
+        shots_infer=20000, noise="readout",
+    ), "GHZ-5: 243 bases x 5,000 shots (4^5=1024 Pauli coefficients)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="examples/results_scaling.jsonl")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
+    from ddqst_tpu import pipeline
+
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            done = {json.loads(line)["tag"] for line in f}
+
+    for tag, cfg, note in experiments():
+        if (args.only and args.only != tag) or tag in done:
+            continue
+        t0 = time.perf_counter()
+        res = pipeline.run_experiment(cfg, seed=args.seed)
+        rec = {
+            "tag": tag,
+            "num_qubits": cfg.data.num_qubits,
+            "fidelity": round(res["fidelity"], 5),
+            "raw_fidelity": round(res["raw_fidelity"], 5),
+            "raw_fidelity_mitigated": (
+                None if res.get("raw_fidelity_mitigated") is None
+                else round(res["raw_fidelity_mitigated"], 5)
+            ),
+            "trace_distance": round(res["trace_distance"], 5),
+            "note": note,
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"== {tag}: fidelity={rec['fidelity']} "
+              f"raw={rec['raw_fidelity']} mle={rec['raw_fidelity_mitigated']} "
+              f"[{rec['wall_s']}s]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

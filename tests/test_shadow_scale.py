@@ -83,6 +83,15 @@ def test_z_basis_ghz_correlation(shadow_run):
     ones_rate = z_samples[:, 0].mean()
     assert 0.15 < ones_rate < 0.85
 
+def test_shadow_preset_defaults_to_renoise():
+    """At N=10 the factorised exact posterior's product-of-marginals error
+    dominates (TV 0.446 vs 0.213 renoise at equal budget — RESULTS.md);
+    the beyond-reference shadow preset is quality-by-default."""
+    from ddqst_tpu.config import get_preset
+
+    assert get_preset("shadow_transformer").diffusion.sampler == "renoise"
+
+
 def test_run_experiment_shadow_branch():
     """run_experiment auto-routes N>6 to the distribution-level path."""
     from ddqst_tpu import pipeline
