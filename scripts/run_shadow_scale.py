@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--shots_infer", type=int, default=5000)
+    ap.add_argument("--shots_train", type=int, default=1024)
+    ap.add_argument("--max_bases", type=int, default=100,
+                    help="shadow-basis count (3^10 = 59,049 total)")
     ap.add_argument("--sampler", default=None,
                     choices=["auto", "exact", "renoise"],
                     help="reverse-sampler rule (default: preset's, renoise)")
@@ -70,8 +73,9 @@ def main():
         ),
         data=base.data.__class__(
             num_qubits=10, state_type="rqc", noise_type="readout",
-            shots_train=1024, shots_infer=args.shots_infer, rqc_depth=8,
-            max_bases=100, mitigate_readout=args.mitigate,
+            shots_train=args.shots_train, shots_infer=args.shots_infer,
+            rqc_depth=8, max_bases=args.max_bases,
+            mitigate_readout=args.mitigate,
             mitigate_train_data=args.mitigate,
         ),
     )
@@ -86,6 +90,8 @@ def main():
         "mitigate": args.mitigate,
         "seed": args.seed,
         "shots_infer": args.shots_infer,
+        "shots_train": args.shots_train,
+        "max_bases": args.max_bases,
         "mean_tv_to_target": round(res["mean_tv_to_target"], 5),
         "tv_shot_noise_floor": round(res["tv_shot_noise_floor"], 5),
         "meas_tv_to_target": round(res["meas_tv_to_target"], 5),
