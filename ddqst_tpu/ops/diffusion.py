@@ -544,6 +544,13 @@ def chain_distribution(
     dist0 = jnp.full((num_bases, g), 1.0 / g, jnp.float32)
     ts = jnp.arange(schedule.num_timesteps, 0, -1)
 
+    # Remat the step: differentiating through the T-step scan would
+    # otherwise store every denoiser activation for all T steps — at N=4
+    # (grid 3^N·2^N = 1296 rows) that is tens of GB of HLO temps (measured
+    # OOM on a 16G chip). With checkpointing only the [3^N, 2^N] carry is
+    # stored per step and the backward pass recomputes the forwards
+    # (standard TPU trade: HBM for FLOPs).
+    @jax.checkpoint
     def step(dist, t):
         t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
         logits = denoise_fn(grid_x, t_vec, grid_basis)
