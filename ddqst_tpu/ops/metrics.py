@@ -51,15 +51,20 @@ def state_fidelity(rho, sigma) -> jnp.ndarray:
         re = jnp.sum(rho.re * sigma.re + rho.im * sigma.im)
         im = jnp.sum(rho.re * sigma.im - rho.im * sigma.re)
         return re * re + im * im
+    # Density-matrix branches clamp at 1: trace-1 PSD inputs bound F <= 1
+    # exactly, but f32 rounding in the estimators can overshoot by ~1e-4
+    # (observed: W-4 MLE reported 1.00016), which reads as nonsense.
     if rho.ndim == 1:
-        return cvdot_real(rho, cmatvec(sigma, rho))
+        return jnp.minimum(cvdot_real(rho, cmatvec(sigma, rho)), 1.0)
     if sigma.ndim == 1:
-        return cvdot_real(sigma, cmatvec(rho, sigma))
+        return jnp.minimum(cvdot_real(sigma, cmatvec(rho, sigma)), 1.0)
     s = sqrtm_psd(rho)
     inner = cmatmul(cmatmul(s, sigma), s)
     # tr √M over the complex spectrum: embedding doubles eigenvalues.
     evals = jnp.linalg.eigvalsh(embed_hermitian(inner))
-    return (jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) / 2.0) ** 2
+    return jnp.minimum(
+        (jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) / 2.0) ** 2, 1.0
+    )
 
 
 def _pure_to_dm(psi: CArray) -> CArray:

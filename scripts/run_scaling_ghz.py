@@ -39,10 +39,19 @@ def experiments():
         "w4_quality", num_qubits=4, state="w", shots_train=5000,
         shots_infer=30000, noise="readout",
     ), "W-4: 81 bases x 5,000 shots")
-    yield ("ghz5_quality", quality_cfg(
+    cfg5 = quality_cfg(
         "ghz5_quality", num_qubits=5, state="ghz", shots_train=5000,
         shots_infer=20000, noise="readout",
-    ), "GHZ-5: 243 bases x 5,000 shots (4^5=1024 Pauli coefficients)")
+    )
+    # 150 distillation steps (not 400): at N=5 each step is a fwd+bwd over
+    # the [3^5*2^5 = 7776, H] grid x T=100 — the remat'd chain converges in
+    # ~100 steps and the shorter program is gentler on the worker.
+    cfg5 = cfg5.replace(train=cfg5.train.__class__(
+        batch_size=1024, learning_rate=1e-3, optimizer="adam",
+        num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
+        chain_finetune_steps=150, chain_lr=3e-4))
+    yield ("ghz5_quality", cfg5,
+           "GHZ-5: 243 bases x 5,000 shots (4^5=1024 Pauli coefficients)")
 
 
 def main():
