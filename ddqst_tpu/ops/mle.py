@@ -67,6 +67,64 @@ def _povm_elements(
     return pis.reshape(b * d, d, d).astype(np.complex64)
 
 
+def _rot1_split(basis_labels: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-qubit 2x2 rotation stack for each basis row.
+
+    Returns ``(re, im)`` of shape ``[B, N, 2, 2]`` — the single-qubit
+    factors of U_b = ⊗_q u_{b_q} (same convention as
+    :func:`ddqst_tpu.qsim.measure.rotation_unitaries`, qubit 0 = LSB).
+    """
+    from ddqst_tpu.qsim.measure import rotation_unitaries
+
+    b, n = basis_labels.shape
+    us = np.stack(
+        [rotation_unitaries(basis_labels[:, q : q + 1]) for q in range(n)],
+        axis=1,
+    )  # [B, N, 2, 2] complex64
+    return us.real.astype(np.float32), us.imag.astype(np.float32)
+
+
+def _apply_left(tr, ti, ur, ui, q: int, n: int):
+    """t <- (I ⊗ u_q ⊗ I) t for batched [B, d, d] t, per-basis u [B, 2, 2]."""
+    b, d, _ = tr.shape
+    hi, lo = 2 ** (n - 1 - q), 2**q
+    shape = (b, hi, 2, lo, d)
+    tr, ti = tr.reshape(shape), ti.reshape(shape)
+    nr = jnp.einsum("bxy,bhyld->bhxld", ur, tr) - jnp.einsum(
+        "bxy,bhyld->bhxld", ui, ti
+    )
+    ni = jnp.einsum("bxy,bhyld->bhxld", ur, ti) + jnp.einsum(
+        "bxy,bhyld->bhxld", ui, tr
+    )
+    return nr.reshape(b, d, d), ni.reshape(b, d, d)
+
+
+def _apply_right_dag(tr, ti, ur, ui, q: int, n: int):
+    """t <- t (I ⊗ u_q ⊗ I)†: new[.., x] = Σ_y t[.., y] conj(u[x, y])."""
+    b, d, _ = tr.shape
+    hi, lo = 2 ** (n - 1 - q), 2**q
+    shape = (b, d, hi, 2, lo)
+    tr, ti = tr.reshape(shape), ti.reshape(shape)
+    nr = jnp.einsum("bxy,bdhyl->bdhxl", ur, tr) + jnp.einsum(
+        "bxy,bdhyl->bdhxl", ui, ti
+    )
+    ni = jnp.einsum("bxy,bdhyl->bdhxl", ur, ti) - jnp.einsum(
+        "bxy,bdhyl->bdhxl", ui, tr
+    )
+    return nr.reshape(b, d, d), ni.reshape(b, d, d)
+
+
+def _confuse_probs(p: jnp.ndarray, m2: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Apply the tensor-product confusion matrix to [B, d] prob rows,
+    one 2x2 factor per qubit (never materialises the [d, d] kron)."""
+    b, d = p.shape
+    for q in range(n):
+        hi, lo = 2 ** (n - 1 - q), 2**q
+        p = jnp.einsum("xy,bhyl->bhxl", m2, p.reshape(b, hi, 2, lo))
+        p = p.reshape(b, d)
+    return p
+
+
 def make_mle(
     num_qubits: int,
     basis_labels: np.ndarray | None = None,
@@ -74,6 +132,7 @@ def make_mle(
     iterations: int = 4000,
     epsilon: float = 0.25,
     tol: float = 3e-7,
+    impl: str = "auto",
 ):
     """Build a jitted MLE reconstructor for a fixed basis set.
 
@@ -95,9 +154,28 @@ def make_mle(
 
     Returns ``reconstruct(counts [B, 2^N]) -> rho`` (CArray). ``counts`` may
     be raw counts or frequencies (normalised internally per basis).
+
+    ``impl`` selects how POVM contractions run:
+
+    - ``'dense'``: materialise the ``[B·d, d, d]`` POVM stack (original
+      path). Fine to N≈4; at N=6 the stack is a 1.5 GB jit constant built
+      by a multi-GB host einsum.
+    - ``'factored'``: never build Π at all. Π_{b,i} = ⊗_q u†|i_q⟩⟨i_q|u is
+      a tensor product, so tr(ρ Π_{b,i}) = diag(U_b ρ U_b†)_i and
+      Σ_i w_i Π_{b,i} = U_b† diag(w) U_b, both computed by 2N batched
+      per-qubit 2x2 contractions — O(B·N·d²) work, O(B·d²) memory,
+      MXU-shaped einsums. The readout confusion matrix (also a tensor
+      product) folds in as p ↦ M p and w ↦ Mᵀ w per basis.
+    - ``'auto'``: 'factored' for num_qubits ≥ 5, else 'dense'.
     """
     if basis_labels is None:
         basis_labels = all_basis_labels(num_qubits)
+    if impl == "auto":
+        impl = "factored" if num_qubits >= 5 else "dense"
+    if impl == "factored":
+        return _make_mle_factored(
+            num_qubits, basis_labels, readout_p, iterations, epsilon, tol
+        )
     d = 2**num_qubits
     num_rows = basis_labels.shape[0]
     povm = from_complex(_povm_elements(num_qubits, basis_labels, readout_p))
@@ -131,6 +209,100 @@ def make_mle(
             ok = (tr > 1e-20) & jnp.isfinite(tr)
             new = new.scale(jnp.where(ok, 1.0 / jnp.where(ok, tr, 1.0), 0.0))
             # If the update degenerated, keep the previous iterate.
+            keep = ok & jnp.isfinite(new.re).all() & jnp.isfinite(new.im).all()
+            nxt = CArray(
+                jnp.where(keep, new.re, rho.re),
+                jnp.where(keep, new.im, rho.im),
+            )
+            delta = jnp.sqrt(
+                jnp.sum((nxt.re - rho.re) ** 2 + (nxt.im - rho.im) ** 2)
+            )
+            return i + 1, nxt, delta
+
+        _, rho, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), rho0, jnp.float32(jnp.inf))
+        )
+        return rho
+
+    return reconstruct
+
+
+def _make_mle_factored(
+    num_qubits: int,
+    basis_labels: np.ndarray,
+    readout_p: float,
+    iterations: int,
+    epsilon: float,
+    tol: float,
+):
+    """Tensor-product MLE (see :func:`make_mle` ``impl='factored'``).
+
+    Identical iteration (diluted RρR, adaptive stop) with the two POVM
+    contractions replaced by per-qubit rotations; numerics agree with the
+    dense path to f32 tolerance (tested in ``tests/test_mle.py``).
+    """
+    n = num_qubits
+    d = 2**n
+    num_rows = basis_labels.shape[0]
+    ur_np, ui_np = _rot1_split(np.asarray(basis_labels))
+    ur, ui = jnp.asarray(ur_np), jnp.asarray(ui_np)  # [B, N, 2, 2]
+    # u† factors (for U† D U): conj-transpose each 2x2.
+    udr = jnp.swapaxes(ur, -1, -2)
+    udi = -jnp.swapaxes(ui, -1, -2)
+    m2 = jnp.array(
+        [[1.0 - readout_p, readout_p], [readout_p, 1.0 - readout_p]],
+        jnp.float32,
+    )
+    eye = jnp.eye(d, dtype=jnp.float32)
+
+    def rotate(tr, ti, fr, fi):
+        for q in range(n):
+            tr, ti = _apply_left(tr, ti, fr[:, q], fi[:, q], q, n)
+        for q in range(n):
+            tr, ti = _apply_right_dag(tr, ti, fr[:, q], fi[:, q], q, n)
+        return tr, ti
+
+    @jax.jit
+    def reconstruct(counts: jnp.ndarray) -> CArray:
+        freqs = counts / jnp.maximum(
+            jnp.sum(counts, axis=-1, keepdims=True), 1.0
+        )
+        f = freqs.astype(jnp.float32)  # [B, d], rows sum to 1
+        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
+
+        def cond(carry):
+            i, _, delta = carry
+            return (i < iterations) & (delta > tol)
+
+        def body(carry):
+            i, rho, _ = carry
+            # p[b, i] = diag(U_b ρ U_b†)_i = tr(ρ Π_{b,i}).
+            sr, _ = rotate(
+                jnp.broadcast_to(rho.re, (num_rows, d, d)),
+                jnp.broadcast_to(rho.im, (num_rows, d, d)),
+                ur, ui,
+            )
+            p = jnp.diagonal(sr, axis1=-2, axis2=-1)  # [B, d]
+            if readout_p > 0:
+                p = _confuse_probs(p, m2, n)
+            w = (f / jnp.maximum(p, 1e-8)) * (epsilon / num_rows)
+            if readout_p > 0:
+                # Σ_i w_i Π'_{b,i} = Σ_j (Mᵀw)_j Π_{b,j}.
+                w = _confuse_probs(w, m2.T, n)
+            # Σ_b U_b† diag(w_b) U_b.
+            rr, ri = rotate(
+                eye[None] * w[:, :, None],
+                jnp.zeros((num_rows, d, d), jnp.float32),
+                udr, udi,
+            )
+            g = CArray(
+                (1.0 - epsilon) * eye + jnp.sum(rr, axis=0),
+                jnp.sum(ri, axis=0),
+            )
+            new = cmatmul(cmatmul(g, rho), g)
+            tr_ = jnp.trace(new.re)
+            ok = (tr_ > 1e-20) & jnp.isfinite(tr_)
+            new = new.scale(jnp.where(ok, 1.0 / jnp.where(ok, tr_, 1.0), 0.0))
             keep = ok & jnp.isfinite(new.re).all() & jnp.isfinite(new.im).all()
             nxt = CArray(
                 jnp.where(keep, new.re, rho.re),

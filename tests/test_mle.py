@@ -119,3 +119,36 @@ def test_bits_to_counts_scatter():
     counts = np.asarray(mle.bits_to_counts(bits))
     # little-endian: [0,0]->0, [1,1]->3, [0,1]->2 (qubit0=0, qubit1=1)
     np.testing.assert_array_equal(counts, [[1.0, 0.0, 1.0, 2.0]])
+
+
+def test_mle_factored_matches_dense(rng):
+    """The tensor-product ('factored') implementation must agree with the
+    dense-POVM path — same diluted iteration, same fixed point — with and
+    without the confusion-folded POVM."""
+    psi = states.ghz_state(3)
+    for p in (0.0, 0.03):
+        counts = _exact_counts(psi, 3, shots=50000, readout_p=p)
+        rho_d = mle.make_mle(3, readout_p=p, impl="dense")(counts)
+        rho_f = mle.make_mle(3, readout_p=p, impl="factored")(counts)
+        np.testing.assert_allclose(
+            np.asarray(rho_f.re), np.asarray(rho_d.re), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rho_f.im), np.asarray(rho_d.im), atol=2e-4
+        )
+    # Noisy empirical counts on a partial basis set as well.
+    labels = pauli.all_basis_labels(2)[:5]
+    counts = jnp.asarray(rng.integers(1, 200, size=(5, 4)).astype(np.float32))
+    rho_d = mle.make_mle(2, basis_labels=labels, impl="dense")(counts)
+    rho_f = mle.make_mle(2, basis_labels=labels, impl="factored")(counts)
+    np.testing.assert_allclose(
+        np.asarray(rho_f.re), np.asarray(rho_d.re), atol=2e-4
+    )
+
+
+def test_mle_factored_recovers_ghz4():
+    """auto -> factored beyond N=4 grid; exact counts recover GHZ-4."""
+    psi = states.ghz_state(4)
+    counts = _exact_counts(psi, 4, shots=100000)
+    rho = mle.make_mle(4, impl="factored")(counts)
+    assert float(M.state_fidelity(psi, rho)) > 0.999
