@@ -52,6 +52,18 @@ def experiments():
         chain_finetune_steps=150, chain_lr=3e-4))
     yield ("ghz5_quality", cfg5,
            "GHZ-5: 243 bases x 5,000 shots (4^5=1024 Pauli coefficients)")
+    # N=6 doubles the reference's max system size with full tomography;
+    # feasible because MLE impl='factored' never builds the POVM stack.
+    cfg6 = quality_cfg(
+        "ghz6_quality", num_qubits=6, state="ghz", shots_train=5000,
+        shots_infer=10000, noise="readout",
+    )
+    cfg6 = cfg6.replace(train=cfg6.train.__class__(
+        batch_size=1024, learning_rate=1e-3, optimizer="adam",
+        num_epochs=150, lr_schedule="cosine", log_every=0, eval_every=0,
+        chain_finetune_steps=100, chain_lr=3e-4))
+    yield ("ghz6_quality", cfg6,
+           "GHZ-6: 729 bases x 5,000 shots, 2x the reference's max N")
 
 
 def main():
