@@ -77,6 +77,9 @@ class TrainConfig:
     # basis set and infer_mode='generate'.
     chain_finetune_steps: int = 0
     chain_lr: float = 1e-4
+    # Distillation basis minibatch (0 = full 3^N set per step): bounds the
+    # per-step grid at chain_basis_batch*2^N rows for N >= 6.
+    chain_basis_batch: int = 0
     num_epochs: int = 300
     seed: int = 0
     eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)

@@ -405,22 +405,34 @@ def grid_p1_tables(
 
     Returns ``[T, Gtot, N]`` float32, index 0 = the first reverse step
     (t = T), matching the scan order of :func:`p_sample_grid`.
+
+    The batch is chunked so no single forward exceeds ~2^19 rows: the
+    one-shot [T·Gtot] call materialises [T·Gtot, hidden]-scale activations
+    — 19 GB at N=6 (T=100, grid 46,656), over HBM. Chunks of ≥2^19 rows
+    already saturate the MXU, so chunking costs nothing at small N (a
+    single chunk) and bounds memory at large N.
     """
     exact = _resolve_exact(schedule, exact)
     t_steps = schedule.num_timesteps
     grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
     gtot = grid_x.shape[0]
     ts = jnp.arange(t_steps, 0, -1)  # scan order: T, T-1, ..., 1
-    big_x = jnp.tile(grid_x, (t_steps, 1))
-    big_basis = (
-        jnp.tile(grid_basis, (t_steps, 1))
-        if grid_basis.ndim == 2
-        else jnp.tile(grid_basis, (t_steps,))
-    )
-    big_t = jnp.repeat(ts, gtot)
-    logits = denoise_fn(big_x, big_t, big_basis)  # [T*Gtot, N, 2]
-    p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
-    return p1.reshape(t_steps, gtot, num_qubits)
+    steps_per_chunk = max(1, (1 << 19) // gtot)
+    chunks = []
+    for s0 in range(0, t_steps, steps_per_chunk):
+        ts_c = ts[s0 : s0 + steps_per_chunk]
+        nt = ts_c.shape[0]
+        big_x = jnp.tile(grid_x, (nt, 1))
+        big_basis = (
+            jnp.tile(grid_basis, (nt, 1))
+            if grid_basis.ndim == 2
+            else jnp.tile(grid_basis, (nt,))
+        )
+        big_t = jnp.repeat(ts_c, gtot)
+        logits = denoise_fn(big_x, big_t, big_basis)  # [nt*Gtot, N, 2]
+        p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
+        chunks.append(p1.reshape(nt, gtot, num_qubits))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
 
 
 def p_sample_grid(
@@ -510,6 +522,7 @@ def chain_distribution(
     num_qubits: int,
     schedule: DiffusionSchedule,
     exact: bool | None = None,
+    basis_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """EXACT output distribution of the reverse sampler, per canonical basis.
 
@@ -527,10 +540,19 @@ def chain_distribution(
     the very distribution the sampler emits rather than the per-step CE
     surrogate.
 
-    Returns ``[3^N, 2^N]`` float32 outcome probabilities.
+    ``basis_idx`` restricts the chain to a subset of canonical bases (any
+    1-D int array of basis indices; traced values are fine — only its
+    LENGTH shapes the program). Each basis' chain is independent, so this
+    is exact restriction, not approximation — the lever for minibatching
+    the distillation loss over bases when the full 3^N·2^N grid does not
+    fit (e.g. N=6: 46,656 rows).
+
+    Returns ``[len(basis_idx) or 3^N, 2^N]`` float32 outcome probabilities.
     """
     exact = _resolve_exact(schedule, exact)
-    num_bases = 3**num_qubits
+    if basis_idx is None:
+        basis_idx = jnp.arange(3**num_qubits, dtype=jnp.int32)
+    num_bases = basis_idx.shape[0]
     g = 2**num_qubits
 
     x_enum = (
@@ -538,7 +560,7 @@ def chain_distribution(
         & 1
     ).astype(jnp.int8)
     grid_x = jnp.tile(x_enum, (num_bases, 1))
-    grid_basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), g)
+    grid_basis = jnp.repeat(basis_idx.astype(jnp.int32), g)
     y_bits = x_enum.astype(jnp.float32)  # [2^N, N]
 
     dist0 = jnp.full((num_bases, g), 1.0 / g, jnp.float32)

@@ -391,6 +391,8 @@ def run_experiment(
                 steps=cfg.train.chain_finetune_steps,
                 learning_rate=cfg.train.chain_lr,
                 exact=cfg.diffusion.exact,
+                basis_batch=cfg.train.chain_basis_batch,
+                key=jax.random.fold_in(k_train, 0xD157),
             )
             log_fn(
                 f"[{cfg.name}] chain CE {float(ft_losses[0]):.5f} -> "

@@ -187,6 +187,8 @@ def finetune_chain(
     learning_rate: float = 1e-4,
     exact: bool | None = None,
     confusion=None,
+    basis_batch: int = 0,
+    key: jax.Array | None = None,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -228,6 +230,13 @@ def finetune_chain(
         resample steps destroy information: on RQC-3 at 20k shots the
         mitigated-counts target itself caps at fidelity 0.9726 while raw
         counts support 0.9907.
+      basis_batch: when > 0 and < 3^N, each Adam step descends the CE over
+        that many uniformly-drawn bases instead of the full set. The
+        chain is independent per basis, so the minibatch gradient is an
+        unbiased estimator of the full one — this bounds the per-step
+        grid at ``basis_batch·2^N`` rows where the full 3^N·2^N grid
+        crashes the worker (N=6: 46,656 rows even remat'd).
+      key: PRNG key for the basis minibatch draw (default: key(0)).
 
     Returns:
       (new_state, losses [steps]) — new_state carries the distilled params.
@@ -240,33 +249,46 @@ def finetune_chain(
     target = target / jnp.maximum(jnp.sum(target, -1, keepdims=True), 1e-9)
     conf_t = None if confusion is None else jnp.asarray(confusion, jnp.float32).T
     tx = optax.adam(learning_rate)
+    num_bases = 3**num_qubits
+    minibatched = 0 < basis_batch < num_bases
 
-    def loss_fn(params):
+    def loss_fn(params, bidx):
         def denoise_fn(x, t, b):
             return state.apply_fn({"params": params}, x, t, b)
 
-        dist = chain_distribution(denoise_fn, num_qubits, schedule, exact)
+        dist = chain_distribution(
+            denoise_fn, num_qubits, schedule, exact, basis_idx=bidx
+        )
+        tgt = target if bidx is None else target[bidx]
         if conf_t is not None:
             dist = dist @ conf_t  # p_meas(i) = sum_j M[i,j] p_clean(j)
-        ce = -jnp.sum(target * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
+        ce = -jnp.sum(tgt * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
         return jnp.mean(ce)
 
     @jax.jit
-    def run(params):
+    def run(params, k0):
         opt_state = tx.init(params)
 
-        def body(carry, _):
+        def body(carry, ks):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            bidx = (
+                jax.random.choice(
+                    ks, num_bases, (basis_batch,), replace=False
+                )
+                if minibatched else None
+            )
+            loss, grads = jax.value_and_grad(loss_fn)(params, bidx)
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(params, updates), opt_state), loss
 
         (params, _), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=steps
+            body, (params, opt_state), jax.random.split(k0, steps)
         )
         return params, losses
 
-    params, losses = run(state.params)
+    params, losses = run(
+        state.params, jax.random.key(0) if key is None else key
+    )
     return state.replace(params=params), losses
 
 

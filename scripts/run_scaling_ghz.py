@@ -58,12 +58,24 @@ def experiments():
         "ghz6_quality", num_qubits=6, state="ghz", shots_train=5000,
         shots_infer=10000, noise="readout",
     )
+    # Distillation off at N=6: the full-grid (46,656-row) distillation
+    # backprop crashes the TPU worker even remat'd; see ghz6_distilled
+    # below for the basis-minibatched variant.
     cfg6 = cfg6.replace(train=cfg6.train.__class__(
         batch_size=1024, learning_rate=1e-3, optimizer="adam",
-        num_epochs=150, lr_schedule="cosine", log_every=0, eval_every=0,
-        chain_finetune_steps=100, chain_lr=3e-4))
+        num_epochs=150, lr_schedule="cosine", log_every=0, eval_every=0))
     yield ("ghz6_quality", cfg6,
            "GHZ-6: 729 bases x 5,000 shots, 2x the reference's max N")
+    # Same run + basis-minibatched distillation: 96 of 729 bases per step
+    # (grid 96*64 = 6,144 rows/step, the scale the worker handles).
+    cfg6d = cfg6.replace(
+        name="ghz6_distilled",
+        train=cfg6.train.__class__(
+            batch_size=1024, learning_rate=1e-3, optimizer="adam",
+            num_epochs=150, lr_schedule="cosine", log_every=0, eval_every=0,
+            chain_finetune_steps=400, chain_lr=3e-4, chain_basis_batch=96))
+    yield ("ghz6_distilled", cfg6d,
+           "GHZ-6 + basis-minibatched exact-chain distillation")
 
 
 def main():

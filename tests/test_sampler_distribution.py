@@ -46,3 +46,59 @@ def test_distribution_certain_denoiser(key):
 
     dist = diff.sampler_distribution(key, fn, {}, n, s, exact=False)
     np.testing.assert_allclose(np.asarray(dist[:, 1]), 1.0, atol=1e-3)
+
+def test_chain_distribution_basis_subset():
+    """chain_distribution(basis_idx=S) == full chain's rows S (each basis'
+    chain is independent — exact restriction, not approximation)."""
+    n = 2
+    s = schedules.cosine_schedule(12)
+    fn = _denoiser(n)
+
+    def denoise(x, t, b):
+        return fn({}, x, t, b)
+
+    full = diff.chain_distribution(denoise, n, s, exact=False)
+    sub = diff.chain_distribution(
+        denoise, n, s, exact=False, basis_idx=jnp.asarray([7, 0, 3])
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(full)[[7, 0, 3]], atol=1e-6
+    )
+
+
+def test_finetune_chain_basis_minibatch(key):
+    """Minibatched distillation descends the same objective: the chain CE
+    against the target drops after a few minibatched steps."""
+    from ddqst_tpu import train as training
+    from ddqst_tpu.config import TrainConfig
+    from ddqst_tpu.models import ConditionalD3PM
+
+    n = 2
+    s = schedules.cosine_schedule(10)
+    model = ConditionalD3PM(num_qubits=n, num_bases=9, num_timesteps=10,
+                            embed_dim=16, hidden_dim=32, num_blocks=1)
+    bits = jnp.zeros((64, n), jnp.int8)
+    basis = jnp.tile(jnp.arange(9, dtype=jnp.int32), 8)[:64]
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-3, optimizer="adam",
+                      num_epochs=2, log_every=0, eval_every=0)
+    state, _ = training.fit(key, model, bits, basis, cfg, s,
+                            log_fn=lambda *a: None)
+    target = np.zeros((9, 4), np.float32)
+    target[:, 0] = 1.0  # all-zeros outcome in every basis
+
+    def chain_ce(st):
+        def denoise(x, t, b):
+            return st.apply_fn({"params": st.params}, x, t, b)
+
+        dist = diff.chain_distribution(denoise, n, s, exact=False)
+        return float(np.mean(
+            -np.sum(target * np.log(np.maximum(np.asarray(dist), 1e-12)), -1)
+        ))
+
+    before = chain_ce(state)
+    new_state, losses = training.finetune_chain(
+        state, target, s, n, steps=30, learning_rate=3e-3, exact=False,
+        basis_batch=3, key=jax.random.fold_in(key, 1),
+    )
+    assert losses.shape == (30,)
+    assert chain_ce(new_state) < before - 0.05
