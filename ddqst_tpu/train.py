@@ -265,10 +265,15 @@ def finetune_chain(
         ce = -jnp.sum(tgt * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
         return jnp.mean(ce)
 
-    @jax.jit
-    def run(params, k0):
-        opt_state = tx.init(params)
+    # The optimisation scan is dispatched in bounded chunks rather than one
+    # XLA program over all `steps`: a single long-running device program
+    # (minutes at the N>=5 grid sizes) crashes this environment's TPU
+    # worker, and chunking also bounds nothing else (params/opt state carry
+    # across calls; the per-chunk program is identical).
+    steps_per_call = 50
 
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def run_chunk(params, opt_state, k0, length):
         def body(carry, ks):
             params, opt_state = carry
             bidx = (
@@ -281,14 +286,24 @@ def finetune_chain(
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, _), losses = jax.lax.scan(
-            body, (params, opt_state), jax.random.split(k0, steps)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(k0, length)
         )
-        return params, losses
+        return params, opt_state, losses
 
-    params, losses = run(
-        state.params, jax.random.key(0) if key is None else key
-    )
+    params = state.params
+    opt_state = tx.init(params)
+    k0 = jax.random.key(0) if key is None else key
+    all_losses = []
+    done = 0
+    while done < steps:
+        length = min(steps_per_call, steps - done)
+        params, opt_state, losses = run_chunk(
+            params, opt_state, jax.random.fold_in(k0, done), length
+        )
+        all_losses.append(losses)
+        done += length
+    losses = jnp.concatenate(all_losses)
     return state.replace(params=params), losses
 
 
