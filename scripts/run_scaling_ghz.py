@@ -76,6 +76,21 @@ def experiments():
             chain_finetune_steps=400, chain_lr=3e-4, chain_basis_batch=96))
     yield ("ghz6_distilled", cfg6d,
            "GHZ-6 + basis-minibatched exact-chain distillation")
+    # The film_mlp's 3^6 = 729-row basis embedding has no cross-basis
+    # sharing; the per-qubit-token transformer factorises the basis
+    # conditioning (the lever behind the N=10 shadow results) and accepts
+    # global basis indices directly (decoded in-model).
+    cfg6t = cfg6d.replace(
+        name="ghz6_transformer",
+        model=cfg6d.model.__class__(
+            arch="transformer", input_encoding="token", embed_dim=128,
+            hidden_dim=512, num_blocks=4, num_heads=4),
+        train=cfg6d.train.__class__(
+            batch_size=1024, learning_rate=1e-3, optimizer="adam",
+            num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
+            chain_finetune_steps=400, chain_lr=3e-4, chain_basis_batch=96))
+    yield ("ghz6_transformer", cfg6t,
+           "GHZ-6, per-qubit-token transformer denoiser + distillation")
 
 
 def main():

@@ -113,3 +113,34 @@ def test_chain_distillation_skipped_on_partial_bases():
     res = pipeline.run_experiment(cfg, seed=0, log_fn=logs.append)
     assert any("distillation skipped" in str(m) for m in logs)
     assert np.isfinite(res["fidelity"])
+
+
+def test_transformer_standard_route_small_n():
+    """arch='transformer' through the FULL small-N pipeline (scalar basis
+    indices decoded in-model): the cross-basis-sharing denoiser used for
+    the GHZ-6 scaling runs must train, sample via the grid path, and
+    reconstruct without shape errors."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("rqc")
+    cfg = cfg.replace(
+        name="tfm_small",
+        model=cfg.model.__class__(arch="transformer", input_encoding="token",
+                                  embed_dim=16, hidden_dim=32, num_blocks=1,
+                                  num_heads=2),
+        diffusion=cfg.diffusion.__class__(num_timesteps=8, schedule="cosine",
+                                          sampler="renoise"),
+        train=cfg.train.__class__(batch_size=256, learning_rate=2e-3,
+                                  optimizer="adam", num_epochs=3,
+                                  log_every=0, eval_every=0,
+                                  chain_finetune_steps=4, chain_lr=1e-3,
+                                  chain_basis_batch=4),
+        data=cfg.data.__class__(num_qubits=2, state_type="bell",
+                                noise_type="readout", shots_train=200,
+                                shots_infer=400, reconstruction="mle"),
+    )
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=lambda *a: None)
+    assert res["samples"].shape == (9, 400, 2)
+    assert 0.0 <= res["fidelity"] <= 1.0
+    assert np.isfinite(res["losses"]).all()
