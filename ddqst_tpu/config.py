@@ -80,6 +80,10 @@ class TrainConfig:
     # Distillation basis minibatch (0 = full 3^N set per step): bounds the
     # per-step grid at chain_basis_batch*2^N rows for N >= 6.
     chain_basis_batch: int = 0
+    # Distillation steps per device dispatch (this environment's TPU
+    # worker dies on single programs running >~2-4 min; lower for
+    # expensive per-step models like the transformer).
+    chain_steps_per_call: int = 25
     num_epochs: int = 300
     seed: int = 0
     eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)

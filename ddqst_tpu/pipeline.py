@@ -393,6 +393,7 @@ def run_experiment(
                 exact=cfg.diffusion.exact,
                 basis_batch=cfg.train.chain_basis_batch,
                 key=jax.random.fold_in(k_train, 0xD157),
+                steps_per_call=cfg.train.chain_steps_per_call,
             )
             log_fn(
                 f"[{cfg.name}] chain CE {float(ft_losses[0]):.5f} -> "

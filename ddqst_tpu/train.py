@@ -189,6 +189,7 @@ def finetune_chain(
     confusion=None,
     basis_batch: int = 0,
     key: jax.Array | None = None,
+    steps_per_call: int = 25,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -266,11 +267,12 @@ def finetune_chain(
         return jnp.mean(ce)
 
     # The optimisation scan is dispatched in bounded chunks rather than one
-    # XLA program over all `steps`: a single long-running device program
-    # (minutes at the N>=5 grid sizes) crashes this environment's TPU
-    # worker, and chunking also bounds nothing else (params/opt state carry
-    # across calls; the per-chunk program is identical).
-    steps_per_call = 50
+    # XLA program over all `steps`: a single device program running for
+    # more than ~2-4 minutes crashes this environment's TPU worker
+    # (observed at 400-step MLP programs and 50-step transformer chunks;
+    # shorter programs of the same shape survive). Params/opt state carry
+    # across calls; the per-chunk program is identical. Lower
+    # ``steps_per_call`` further for expensive per-step models.
 
     @functools.partial(jax.jit, static_argnames=("length",))
     def run_chunk(params, opt_state, k0, length):

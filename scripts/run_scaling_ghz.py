@@ -87,10 +87,18 @@ def experiments():
             hidden_dim=512, num_blocks=4, num_heads=4),
         train=cfg6d.train.__class__(
             batch_size=1024, learning_rate=1e-3, optimizer="adam",
-            num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
-            chain_finetune_steps=400, chain_lr=3e-4, chain_basis_batch=96))
+            num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0))
     yield ("ghz6_transformer", cfg6t,
-           "GHZ-6, per-qubit-token transformer denoiser + distillation")
+           "GHZ-6, per-qubit-token transformer denoiser (CE only)")
+    cfg6td = cfg6t.replace(
+        name="ghz6_transformer_distilled",
+        train=cfg6t.train.__class__(
+            batch_size=1024, learning_rate=1e-3, optimizer="adam",
+            num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
+            chain_finetune_steps=150, chain_lr=3e-4, chain_basis_batch=96,
+            chain_steps_per_call=10))
+    yield ("ghz6_transformer_distilled", cfg6td,
+           "GHZ-6 transformer + minibatched distillation (10-step chunks)")
 
 
 def main():
