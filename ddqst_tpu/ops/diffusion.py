@@ -406,33 +406,42 @@ def grid_p1_tables(
     Returns ``[T, Gtot, N]`` float32, index 0 = the first reverse step
     (t = T), matching the scan order of :func:`p_sample_grid`.
 
-    The batch is chunked so no single forward exceeds ~2^19 rows: the
-    one-shot [T·Gtot] call materialises [T·Gtot, hidden]-scale activations
-    — 19 GB at N=6 (T=100, grid 46,656), over HBM. Chunks of ≥2^19 rows
-    already saturate the MXU, so chunking costs nothing at small N (a
-    single chunk) and bounds memory at large N.
+    The batch is chunked (``lax.map`` over groups of timesteps) so no
+    single forward exceeds ~2^17 rows: the one-shot [T·Gtot] call
+    materialises [T·Gtot, hidden]-scale activations — 19 GB at N=6
+    (T=100, grid 46,656), over HBM. 2^17-row forwards already saturate
+    the MXU, so this costs nothing at small N (one chunk), and
+    ``lax.map``'s sequential semantics guarantee the peak is ONE chunk's
+    activations (a trace-time Python loop over chunks inside one jit
+    lets the scheduler keep several alive — measured 20 GB at N=6 with
+    the transformer denoiser).
     """
     exact = _resolve_exact(schedule, exact)
     t_steps = schedule.num_timesteps
     grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
     gtot = grid_x.shape[0]
     ts = jnp.arange(t_steps, 0, -1)  # scan order: T, T-1, ..., 1
-    steps_per_chunk = max(1, (1 << 19) // gtot)
-    chunks = []
-    for s0 in range(0, t_steps, steps_per_chunk):
-        ts_c = ts[s0 : s0 + steps_per_chunk]
-        nt = ts_c.shape[0]
-        big_x = jnp.tile(grid_x, (nt, 1))
+    m_target = max(1, (1 << 17) // gtot)
+    # Largest divisor of T within the row budget, so chunks are uniform.
+    m = max(d for d in range(1, t_steps + 1)
+            if t_steps % d == 0 and d <= m_target)
+
+    def chunk_fn(ts_c):
+        big_x = jnp.tile(grid_x, (m, 1))
         big_basis = (
-            jnp.tile(grid_basis, (nt, 1))
+            jnp.tile(grid_basis, (m, 1))
             if grid_basis.ndim == 2
-            else jnp.tile(grid_basis, (nt,))
+            else jnp.tile(grid_basis, (m,))
         )
         big_t = jnp.repeat(ts_c, gtot)
-        logits = denoise_fn(big_x, big_t, big_basis)  # [nt*Gtot, N, 2]
+        logits = denoise_fn(big_x, big_t, big_basis)  # [m*Gtot, N, 2]
         p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
-        chunks.append(p1.reshape(nt, gtot, num_qubits))
-    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+        return p1.reshape(m, gtot, num_qubits)
+
+    if m == t_steps:
+        return chunk_fn(ts)
+    tables = jax.lax.map(chunk_fn, ts.reshape(t_steps // m, m))
+    return tables.reshape(t_steps, gtot, num_qubits)
 
 
 def p_sample_grid(
