@@ -30,6 +30,10 @@ from ddqst_tpu.ops.schedules import make_schedule
 from ddqst_tpu.qsim import measure, noise, states
 from ddqst_tpu import train as training
 
+# Max reverse-sampler chains (bases x shots) per device dispatch; bigger
+# single programs wedge this environment's TPU worker (see run_experiment).
+_GEN_CHAIN_CAP = 1 << 22
+
 
 @dataclasses.dataclass
 class GeneratedData:
@@ -441,10 +445,25 @@ def run_experiment(
                 "reconstruction quality"
             )
         log_fn(f"[{cfg.name}] sampling {cfg.data.shots_infer}/basis")
-        samples = diff.sample_all_bases(
-            k_sample, state.apply_fn, {"params": state.params},
-            cfg.data.num_qubits, cfg.data.shots_infer, schedule,
-            exact=cfg.diffusion.exact,
+        # Chunk generation so one dispatch never walks more than ~2^22
+        # chains (bases x shots): single huge device programs are what
+        # this environment's TPU worker wedges/crashes on, and chunking
+        # is free (the per-chunk program is identical and cached).
+        num_bases = 3**cfg.data.num_qubits
+        cap = max(1, _GEN_CHAIN_CAP // num_bases)
+        n_calls = -(-cfg.data.shots_infer // cap)
+        per_call = -(-cfg.data.shots_infer // n_calls)  # equal-size chunks:
+        chunks = [  # one compile, reused for every dispatch
+            diff.sample_all_bases(
+                jax.random.fold_in(k_sample, c), state.apply_fn,
+                {"params": state.params}, cfg.data.num_qubits, per_call,
+                schedule, exact=cfg.diffusion.exact,
+            )
+            for c in range(n_calls)
+        ]
+        samples = (
+            chunks[0] if n_calls == 1
+            else jnp.concatenate(chunks, axis=1)[:, : cfg.data.shots_infer]
         )
 
     mit_p = 0.0
