@@ -32,7 +32,7 @@ from ddqst_tpu import train as training
 
 # Max reverse-sampler chains (bases x shots) per device dispatch; bigger
 # single programs wedge this environment's TPU worker (see run_experiment).
-_GEN_CHAIN_CAP = 1 << 22
+_GEN_CHAIN_CAP = 1 << 21
 
 
 @dataclasses.dataclass
