@@ -99,6 +99,15 @@ def experiments():
             chain_steps_per_call=10))
     yield ("ghz6_transformer_distilled", cfg6td,
            "GHZ-6 transformer + minibatched distillation (10-step chunks)")
+    # Shortened schedule so the whole process finishes inside the relay's
+    # ~16-min wedge horizon (CLAUDE.md "TPU relay wedge modes").
+    cfg6t100 = cfg6t.replace(
+        name="ghz6_transformer_e100",
+        train=cfg6t.train.__class__(
+            batch_size=1024, learning_rate=1.5e-3, optimizer="adam",
+            num_epochs=100, lr_schedule="cosine", log_every=0, eval_every=0))
+    yield ("ghz6_transformer_e100", cfg6t100,
+           "GHZ-6 transformer, 100-epoch schedule (wedge-horizon budget)")
 
 
 def main():
