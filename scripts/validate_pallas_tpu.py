@@ -62,6 +62,41 @@ def main():
         dt = time.perf_counter() - t0
         print(f"{name}: {dt*1e3:.1f} ms -> {135000/dt:.0f} bitstrings/s")
 
+    walk_distribution_check()
+
+
+def walk_distribution_check():
+    """fused_chain_walk empirical distribution vs the exact table-walk
+    evolution, at N=3 and N=6 (the latter caught nothing — the kernel is
+    N-generic — but guards the g=64 unrolled select-accumulate path the
+    CPU tests cannot reach: the interpreter's PRNG returns zeros)."""
+    rng = np.random.default_rng(0)
+    for n in (3, 6):
+        g = 2**n
+        t_steps, c, s = 20, 4, 200000
+        tables = rng.uniform(0.05, 0.95, (t_steps, c, g, n)).astype(np.float32)
+        dist = np.full((c, g), 1.0 / g)
+        y_bits = ((np.arange(g)[:, None] >> np.arange(n)) & 1).astype(float)
+        for t in range(t_steps):
+            for ci in range(c):
+                p1 = tables[t, ci]
+                trans = np.prod(
+                    p1[:, None, :] * y_bits[None, :, :]
+                    + (1 - p1[:, None, :]) * (1 - y_bits[None, :, :]),
+                    axis=-1,
+                )
+                dist[ci] = dist[ci] @ trans
+        init = jnp.asarray(rng.integers(0, g, (c, s)).astype(np.int32))
+        out = np.asarray(
+            pk.fused_chain_walk(jnp.int32(7), jnp.asarray(tables), init, n)
+        )
+        noise = np.sqrt(g / (2 * np.pi * s))
+        for ci in range(c):
+            emp = np.bincount(out[ci], minlength=g) / s
+            tv = 0.5 * np.abs(emp - dist[ci]).sum()
+            assert tv < 4 * noise, f"N={n} row {ci}: TV {tv} >> noise {noise}"
+        print(f"walk distribution check N={n}: ok (noise scale {noise:.4f})")
+
 
 if __name__ == "__main__":
     main()
