@@ -108,6 +108,28 @@ def experiments():
             num_epochs=100, lr_schedule="cosine", log_every=0, eval_every=0))
     yield ("ghz6_transformer_e100", cfg6t100,
            "GHZ-6 transformer, 100-epoch schedule (wedge-horizon budget)")
+    # Distillation retune: the first N=6 distillation barely moved the
+    # chain CE (3.41 -> 3.44 at lr 3e-4 / 400 minibatched steps); 2x the
+    # budget at ~3x the lr.
+    cfg6dh = cfg6d.replace(
+        name="ghz6_distilled_hot",
+        train=cfg6d.train.__class__(
+            batch_size=1024, learning_rate=1e-3, optimizer="adam",
+            num_epochs=150, lr_schedule="cosine", log_every=0, eval_every=0,
+            chain_finetune_steps=800, chain_lr=1e-3, chain_basis_batch=96))
+    yield ("ghz6_distilled_hot", cfg6dh,
+           "GHZ-6 + hotter minibatched distillation (800 steps, lr 1e-3)")
+    # Same hot recipe one N down (GHZ-5 was 0.967 at 150 steps / 3e-4).
+    cfg5h = quality_cfg(
+        "ghz5_distilled_hot", num_qubits=5, state="ghz", shots_train=5000,
+        shots_infer=20000, noise="readout",
+    )
+    cfg5h = cfg5h.replace(train=cfg5h.train.__class__(
+        batch_size=1024, learning_rate=1e-3, optimizer="adam",
+        num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
+        chain_finetune_steps=800, chain_lr=1e-3, chain_basis_batch=96))
+    yield ("ghz5_distilled_hot", cfg5h,
+           "GHZ-5 + hot distillation recipe")
 
 
 def main():
