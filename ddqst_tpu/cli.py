@@ -47,7 +47,7 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sampler", choices=["auto", "exact", "renoise"])
     p.add_argument("--infer_mode", choices=["generate", "denoise"])
     # Model
-    p.add_argument("--arch", choices=["film_mlp", "transformer"])
+    p.add_argument("--arch", choices=["film_mlp", "plain_mlp", "transformer"])
     p.add_argument("--input_encoding", choices=["float", "token"])
     p.add_argument("--condition_on_circuit", action="store_true", default=None,
                    help="circuit-identity conditioning (beyond-reference; "
@@ -67,6 +67,11 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="exact-chain distillation steps after CE training "
                         "(0 = off; see train.finetune_chain)")
     p.add_argument("--chain_lr", type=float)
+    p.add_argument("--chain_val_fraction", type=float,
+                   help="hold out this fraction of training shots and "
+                        "step-select distillation on held-out chain CE "
+                        "(automated distillation temperature; 0 = off)")
+    p.add_argument("--chain_val_patience", type=int)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir")
     p.add_argument("--data_parallel", type=int, default=0,

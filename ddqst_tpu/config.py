@@ -80,6 +80,13 @@ class TrainConfig:
     # Distillation basis minibatch (0 = full 3^N set per step): bounds the
     # per-step grid at chain_basis_batch*2^N rows for N >= 6.
     chain_basis_batch: int = 0
+    # Automated distillation temperature (the one-recipe criterion,
+    # RESULTS.md "bias-variance knob"): hold out this fraction of training
+    # shots per basis, step-select/early-stop distillation on the
+    # held-out full-grid chain CE (see train.finetune_chain val_counts).
+    # 0 = hand-tuned behaviour (run exactly chain_finetune_steps steps).
+    chain_val_fraction: float = 0.0
+    chain_val_patience: int = 4  # non-improving held-out evals before stop
     # Distillation steps per device dispatch (this environment's TPU
     # worker dies on single programs running >~2-4 min; lower for
     # expensive per-step models like the transformer).

@@ -421,10 +421,12 @@ def grid_p1_tables(
     grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
     gtot = grid_x.shape[0]
     ts = jnp.arange(t_steps, 0, -1)  # scan order: T, T-1, ..., 1
-    m_target = max(1, (1 << 17) // gtot)
-    # Largest divisor of T within the row budget, so chunks are uniform.
-    m = max(d for d in range(1, t_steps + 1)
-            if t_steps % d == 0 and d <= m_target)
+    # Chunk size stays at the row-budget target for ANY T (divisor-poor or
+    # prime T included): pad ts up to a multiple of m with dummy t=1 rows
+    # and slice the padded tables off afterwards, instead of requiring an
+    # exact divisor (which degenerated to many tiny dispatches at e.g.
+    # T=97).
+    m = min(max(1, (1 << 17) // gtot), t_steps)
 
     def chunk_fn(ts_c):
         big_x = jnp.tile(grid_x, (m, 1))
@@ -440,8 +442,12 @@ def grid_p1_tables(
 
     if m == t_steps:
         return chunk_fn(ts)
-    tables = jax.lax.map(chunk_fn, ts.reshape(t_steps // m, m))
-    return tables.reshape(t_steps, gtot, num_qubits)
+    n_chunks = -(-t_steps // m)
+    ts_pad = jnp.concatenate(
+        [ts, jnp.ones((n_chunks * m - t_steps,), ts.dtype)]
+    )
+    tables = jax.lax.map(chunk_fn, ts_pad.reshape(n_chunks, m))
+    return tables.reshape(n_chunks * m, gtot, num_qubits)[:t_steps]
 
 
 def p_sample_grid(
@@ -651,13 +657,20 @@ def sample_all_bases(
     (``grid_mode='auto'``), switches to the exhaustive-grid sampler
     (:func:`p_sample_grid`: one batched table precompute + a table walk).
 
-    ``walk`` selects the grid-path chain-walk backend: ``'xla'`` (scan of
-    gather + Bernoulli draws) or ``'pallas'``
-    (:func:`~ddqst_tpu.ops.pallas_kernels.fused_chain_walk`: the whole
-    T-step walk in one kernel, chain state resident in VMEM). ``'auto'``
-    picks Pallas on TPU backends, XLA elsewhere (the Pallas interpreter's
-    PRNG returns zeros — hardware only; measured regime study in
-    RESULTS.md).
+    ``walk`` selects the grid-path chain-walk backend:
+
+    - ``'xla'`` — one batched table precompute + scan of gather/Bernoulli.
+    - ``'pallas'`` — table precompute + the whole T-step walk in one
+      kernel (:func:`~ddqst_tpu.ops.pallas_kernels.fused_chain_walk`,
+      chain state resident in VMEM; hardware only — the Pallas
+      interpreter's PRNG returns zeros).
+    - ``'seq'`` — NO table precompute: per-step grid forwards inside the
+      scan (``p_sample_grid(precompute=False)``, the round-1 path).
+    - ``'auto'`` — regime-aware pick from (N, chains) per the measured
+      crossovers (RESULTS.md regime table): when the chain count is
+      within ~32x the grid size the T-table precompute cost dominates
+      and the per-step path wins (measured at N=5, 1e5 chains: 0.82M/s
+      seq vs 0.66M/s pallas); otherwise Pallas on TPU, XLA elsewhere.
     """
     num_bases = 3**num_qubits
     basis = jnp.repeat(jnp.arange(num_bases, dtype=jnp.int32), shots)
@@ -669,9 +682,12 @@ def sample_all_bases(
         grid_mode == "auto" and 6**num_qubits < num_bases * shots
     )
     if walk == "auto":
-        walk = (
-            "pallas" if jax.default_backend() == "tpu" else "xla"
-        )
+        if use_grid and num_bases * shots < 32 * 6**num_qubits:
+            walk = "seq"
+        elif jax.default_backend() == "tpu":
+            walk = "pallas"
+        else:
+            walk = "xla"
     if use_grid and walk == "pallas":
         from ddqst_tpu.ops.pallas_kernels import fused_chain_walk
 
@@ -691,7 +707,8 @@ def sample_all_bases(
         )
     if use_grid:
         out = p_sample_grid(
-            key, denoise_fn, basis, num_qubits, schedule, exact=exact
+            key, denoise_fn, basis, num_qubits, schedule, exact=exact,
+            precompute=(walk != "seq"),
         )
     else:
         out = p_sample(

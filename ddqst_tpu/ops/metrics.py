@@ -50,20 +50,29 @@ def state_fidelity(rho, sigma) -> jnp.ndarray:
     if rho.ndim == 1 and sigma.ndim == 1:
         re = jnp.sum(rho.re * sigma.re + rho.im * sigma.im)
         im = jnp.sum(rho.re * sigma.im - rho.im * sigma.re)
-        return re * re + im * im
-    # Density-matrix branches clamp at 1: trace-1 PSD inputs bound F <= 1
-    # exactly, but f32 rounding in the estimators can overshoot by ~1e-4
-    # (observed: W-4 MLE reported 1.00016), which reads as nonsense.
+        return _clamp_fid(re * re + im * im)
     if rho.ndim == 1:
-        return jnp.minimum(cvdot_real(rho, cmatvec(sigma, rho)), 1.0)
+        return _clamp_fid(cvdot_real(rho, cmatvec(sigma, rho)))
     if sigma.ndim == 1:
-        return jnp.minimum(cvdot_real(sigma, cmatvec(rho, sigma)), 1.0)
+        return _clamp_fid(cvdot_real(sigma, cmatvec(rho, sigma)))
     s = sqrtm_psd(rho)
     inner = cmatmul(cmatmul(s, sigma), s)
     # tr √M over the complex spectrum: embedding doubles eigenvalues.
     evals = jnp.linalg.eigvalsh(embed_hermitian(inner))
-    return jnp.minimum(
-        (jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) / 2.0) ** 2, 1.0
+    return _clamp_fid((jnp.sum(jnp.sqrt(jnp.maximum(evals, 0.0))) / 2.0) ** 2)
+
+
+def _clamp_fid(value: jnp.ndarray, tol: float = 1e-3) -> jnp.ndarray:
+    """Absorb f32 rounding overshoot only: clamp F to 1 when within ``tol``.
+
+    Trace-1 PSD inputs bound F <= 1 exactly, but f32 rounding in the
+    estimators overshoots by ~1e-4 (observed: W-4 MLE reported 1.00016).
+    A value beyond 1 + tol is a genuinely broken estimator and is passed
+    through unclamped so the bug surfaces instead of reading as a perfect
+    1.0. Applied uniformly across all branches (pure-pure included).
+    """
+    return jnp.where(
+        (value > 1.0) & (value <= 1.0 + tol), 1.0, value
     )
 
 

@@ -389,8 +389,20 @@ def run_experiment(
                 f"[{cfg.name}] exact-chain distillation: "
                 f"{cfg.train.chain_finetune_steps} steps"
             )
-            state, ft_losses = training.finetune_chain(
-                state, mle.bits_to_counts(data.bits), schedule,
+            vf = cfg.train.chain_val_fraction
+            val_counts = None
+            if vf > 0:
+                # Held-out split at the shot level (shots are iid per
+                # basis): the last ceil(vf*S) shots per basis validate the
+                # distillation temperature, the rest form the target.
+                s = data.bits.shape[1]
+                s_val = min(max(int(round(vf * s)), 1), s - 1)
+                tgt_counts = mle.bits_to_counts(data.bits[:, : s - s_val])
+                val_counts = mle.bits_to_counts(data.bits[:, s - s_val :])
+            else:
+                tgt_counts = mle.bits_to_counts(data.bits)
+            state, ft_losses, ft_info = training.finetune_chain(
+                state, tgt_counts, schedule,
                 cfg.data.num_qubits,
                 steps=cfg.train.chain_finetune_steps,
                 learning_rate=cfg.train.chain_lr,
@@ -398,11 +410,24 @@ def run_experiment(
                 basis_batch=cfg.train.chain_basis_batch,
                 key=jax.random.fold_in(k_train, 0xD157),
                 steps_per_call=cfg.train.chain_steps_per_call,
+                val_counts=val_counts,
+                val_patience=cfg.train.chain_val_patience,
             )
-            log_fn(
-                f"[{cfg.name}] chain CE {float(ft_losses[0]):.5f} -> "
-                f"{float(ft_losses[-1]):.5f}"
+            # Full-grid CE (not minibatch estimates — those conflate
+            # subset noise with descent when chain_basis_batch is set).
+            msg = (
+                f"[{cfg.name}] chain CE (full grid) "
+                f"{ft_info['train_ce_before']:.5f} -> "
+                f"{ft_info['train_ce_after']:.5f}"
             )
+            if val_counts is not None:
+                msg += (
+                    f"; held-out best {ft_info['best_val_ce']:.5f} at step "
+                    f"{ft_info['best_step']} "
+                    f"(ran {ft_losses.shape[0]} of "
+                    f"{cfg.train.chain_finetune_steps})"
+                )
+            log_fn(msg)
         else:
             log_fn(
                 f"[{cfg.name}] WARNING: chain distillation skipped (needs "
@@ -455,7 +480,10 @@ def run_experiment(
         per_call = -(-cfg.data.shots_infer // n_calls)  # equal-size chunks:
         chunks = [  # one compile, reused for every dispatch
             diff.sample_all_bases(
-                jax.random.fold_in(k_sample, c), state.apply_fn,
+                # Single-chunk runs consume k_sample directly so seeds
+                # reproduce pre-chunking recorded results bit-for-bit.
+                k_sample if n_calls == 1 else jax.random.fold_in(k_sample, c),
+                state.apply_fn,
                 {"params": state.params}, cfg.data.num_qubits, per_call,
                 schedule, exact=cfg.diffusion.exact,
             )

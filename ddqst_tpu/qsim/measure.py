@@ -143,8 +143,20 @@ def sample_bits(key, probs, shots: int, num_qubits: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("shots",))
 def sample_counts(key, probs, shots: int) -> jnp.ndarray:
-    """probs ``[..., d]`` -> counts ``[..., d]`` int32 summing to ``shots``."""
-    outcomes = sample_outcomes(key, probs, shots)
+    """probs ``[..., d]`` -> counts ``[..., d]`` int32 summing to ``shots``.
+
+    Histogram by scatter-add — O(rows·shots) work and O(rows·d)
+    output, like :func:`ddqst_tpu.ops.mle.bits_to_counts`. The previous
+    one-hot formulation materialised a ``[..., shots, d]`` intermediate
+    (~3.3 GB int32 at the chunked builder's N=5 defaults of 500 circuits
+    x 50 bases x 1024 shots, ``data/generate.py:_simulate_chunk``).
+    """
+    outcomes = sample_outcomes(key, probs, shots)  # [..., shots]
     d = probs.shape[-1]
-    onehot = outcomes[..., None] == jnp.arange(d, dtype=outcomes.dtype)
-    return jnp.sum(onehot.astype(jnp.int32), axis=-2)
+    lead = outcomes.shape[:-1]
+    flat = outcomes.reshape(-1, shots)
+    rows = jnp.broadcast_to(
+        jnp.arange(flat.shape[0], dtype=jnp.int32)[:, None], flat.shape
+    )
+    out = jnp.zeros((flat.shape[0], d), jnp.int32)
+    return out.at[rows, flat].add(1).reshape(lead + (d,))

@@ -190,6 +190,8 @@ def finetune_chain(
     basis_batch: int = 0,
     key: jax.Array | None = None,
     steps_per_call: int = 25,
+    val_counts=None,
+    val_patience: int = 4,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -238,9 +240,29 @@ def finetune_chain(
         grid at ``basis_batch·2^N`` rows where the full 3^N·2^N grid
         crashes the worker (N=6: 46,656 rows even remat'd).
       key: PRNG key for the basis minibatch draw (default: key(0)).
+      val_counts: optional held-out ``[3^N, 2^N]`` counts (shots NOT in
+        ``target_counts``). When given, the distillation temperature is
+        AUTOMATED: after every dispatch chunk the full-grid chain CE
+        against the held-out counts is evaluated (forward only, chunked
+        over bases), the params with the best held-out CE are kept, and
+        the loop early-stops after ``val_patience`` non-improving evals.
+        This is the bias-variance criterion measured in RESULTS.md
+        ("distillation temperature trades bias for data noise"): distill
+        until the chain matches the counts only as far as the counts
+        deserve matching — held-out CE is minimised by the true noisy
+        distribution, not by the training counts, so overfitting shot
+        noise (the hand-tuned hot recipe's failure mode at N=5) raises
+        it and stops the run. The step-0 (undistilled) params are a
+        candidate too, so distillation can never make things worse by
+        this criterion.
+      val_patience: consecutive non-improving held-out evals before stop.
 
     Returns:
-      (new_state, losses [steps]) — new_state carries the distilled params.
+      ``(new_state, losses [steps_run], info)`` — new_state carries the
+      selected params. ``info`` always holds ``train_ce_before`` /
+      ``train_ce_after`` (FULL-grid CE vs the target, so minibatched runs
+      log real descent, not subset noise); with ``val_counts`` it adds
+      ``val_history`` [(step, ce)], ``best_step`` and ``best_val_ce``.
     """
     import jax.numpy as jnp
 
@@ -265,6 +287,37 @@ def finetune_chain(
             dist = dist @ conf_t  # p_meas(i) = sum_j M[i,j] p_clean(j)
         ce = -jnp.sum(tgt * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
         return jnp.mean(ce)
+
+    # Full-grid CE evaluator (forward only), chunked over bases so no
+    # single dispatch exceeds 3^5·2^N grid rows (the chain is independent
+    # per basis, so chunking is exact). Used for the honest before/after
+    # log numbers and for the held-out early-stop criterion.
+    chunk_b = 3 ** min(num_qubits, 5)
+
+    @jax.jit
+    def _grid_ce_chunk(params, tgt_chunk, bidx):
+        def denoise_fn(x, t, b):
+            return state.apply_fn({"params": params}, x, t, b)
+
+        dist = chain_distribution(
+            denoise_fn, num_qubits, schedule, exact, basis_idx=bidx
+        )
+        if conf_t is not None:
+            dist = dist @ conf_t
+        ce = -jnp.sum(tgt_chunk * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
+        return jnp.sum(ce)
+
+    def full_grid_ce(params, tgt):
+        total = 0.0
+        for i in range(0, num_bases, chunk_b):
+            bidx = jnp.arange(i, i + chunk_b, dtype=jnp.int32)
+            total += float(_grid_ce_chunk(params, tgt[i : i + chunk_b], bidx))
+        return total / num_bases
+
+    val = None
+    if val_counts is not None:
+        val = jnp.asarray(val_counts, jnp.float32)
+        val = val / jnp.maximum(jnp.sum(val, -1, keepdims=True), 1e-9)
 
     # The optimisation scan is dispatched in bounded chunks rather than one
     # XLA program over all `steps`: a single device program running for
@@ -298,6 +351,15 @@ def finetune_chain(
     k0 = jax.random.key(0) if key is None else key
     all_losses = []
     done = 0
+    info: dict = {"train_ce_before": full_grid_ce(params, target)}
+    best_ce = best_step = None
+    best_params = params
+    bad = 0
+    val_history = []
+    if val is not None:
+        best_ce = full_grid_ce(params, val)
+        best_step = 0
+        val_history.append((0, best_ce))
     while done < steps:
         length = min(steps_per_call, steps - done)
         params, opt_state, losses = run_chunk(
@@ -305,8 +367,26 @@ def finetune_chain(
         )
         all_losses.append(losses)
         done += length
-    losses = jnp.concatenate(all_losses)
-    return state.replace(params=params), losses
+        if val is not None:
+            ce = full_grid_ce(params, val)
+            val_history.append((done, ce))
+            if ce < best_ce - 1e-5:
+                best_ce, best_params, best_step = ce, params, done
+                bad = 0
+            else:
+                bad += 1
+                if bad >= val_patience:
+                    break
+    if val is not None:
+        params = best_params
+        info.update(
+            val_history=val_history, best_step=best_step, best_val_ce=best_ce
+        )
+    info["train_ce_after"] = full_grid_ce(params, target)
+    losses = (
+        jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,))
+    )
+    return state.replace(params=params), losses, info
 
 
 def fit(

@@ -112,6 +112,39 @@ def test_sample_counts_total(key):
     assert int(counts.sum()) == 1024
 
 
+def test_sample_counts_leading_dims_and_distribution(key):
+    """Scatter-add histogram: [C, B, d] leading dims, per-row totals, and
+    agreement with a per-outcome bincount of the same draws (the builder's
+    shape: circuits x bases x outcomes, ``data/generate._simulate_chunk``)."""
+    rng = np.random.default_rng(0)
+    p = rng.random((3, 5, 8))
+    p /= p.sum(-1, keepdims=True)
+    probs = jnp.asarray(p, jnp.float32)
+    shots = 2048
+    counts = measure.sample_counts(key, probs, shots=shots)
+    assert counts.shape == (3, 5, 8)
+    assert np.all(np.asarray(counts).sum(-1) == shots)
+    expected = measure.sample_outcomes(key, probs, shots)  # same key/draws
+    ref = np.stack([
+        np.bincount(np.asarray(expected)[c, b], minlength=8)
+        for c in range(3) for b in range(5)
+    ]).reshape(3, 5, 8)
+    np.testing.assert_array_equal(np.asarray(counts), ref)
+
+
+def test_sample_counts_shadow_scale(key):
+    """N=10 shadow-builder scale runs without a [rows, shots, 2^N] one-hot
+    (the pre-fix intermediate would be 50 x 1024 x 1024 x 4 B = 200 MB
+    here and ~3.3 GB at the chunked builder's N=5 defaults)."""
+    d = 1 << 10
+    rng = np.random.default_rng(1)
+    p = rng.random((50, d))
+    p /= p.sum(-1, keepdims=True)
+    counts = measure.sample_counts(key, jnp.asarray(p, jnp.float32), 1024)
+    assert counts.shape == (50, d)
+    assert np.all(np.asarray(counts).sum(-1) == 1024)
+
+
 def test_readout_confusion_probs(key):
     probs = jnp.asarray([1.0, 0.0])
     out = noise.apply_readout_to_probs(probs, 1, 0.01)

@@ -96,9 +96,57 @@ def test_finetune_chain_basis_minibatch(key):
         ))
 
     before = chain_ce(state)
-    new_state, losses = training.finetune_chain(
+    new_state, losses, info = training.finetune_chain(
         state, target, s, n, steps=30, learning_rate=3e-3, exact=False,
         basis_batch=3, key=jax.random.fold_in(key, 1),
     )
     assert losses.shape == (30,)
-    assert chain_ce(new_state) < before - 0.05
+    after = chain_ce(new_state)
+    assert after < before - 0.05
+    # The info dict reports FULL-grid CE (not minibatch estimates).
+    np.testing.assert_allclose(info["train_ce_before"], before, rtol=1e-4)
+    np.testing.assert_allclose(info["train_ce_after"], after, rtol=1e-4)
+
+
+def test_finetune_chain_heldout_step_selection(key):
+    """With val_counts, the recipe keeps the params with the best held-out
+    full-grid CE and can early-stop — a target that disagrees with the
+    held-out counts must select (near) step 0 instead of overfitting."""
+    from ddqst_tpu import train as training
+    from ddqst_tpu.config import TrainConfig
+    from ddqst_tpu.models import ConditionalD3PM
+
+    n = 2
+    s = schedules.cosine_schedule(10)
+    model = ConditionalD3PM(num_qubits=n, num_bases=9, num_timesteps=10,
+                            embed_dim=16, hidden_dim=32, num_blocks=1)
+    # Train the denoiser toward the uniform distribution (random bits).
+    bits = jnp.asarray(
+        np.random.default_rng(0).integers(0, 2, (512, n)), jnp.int8
+    )
+    basis = jnp.tile(jnp.arange(9, dtype=jnp.int32), 57)[:512]
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-3, optimizer="adam",
+                      num_epochs=5, log_every=0, eval_every=0)
+    state, _ = training.fit(key, model, bits, basis, cfg, s,
+                            log_fn=lambda *a: None)
+    # Distillation target: a DEGENERATE distribution (all-zeros outcome);
+    # held-out counts: uniform (matching what the chain already emits).
+    # Descending the target overfits, so held-out CE worsens immediately
+    # and step selection must stay at/near 0.
+    target = np.zeros((9, 4), np.float32)
+    target[:, 0] = 100.0
+    val = np.full((9, 4), 25.0, np.float32)
+    new_state, losses, info = training.finetune_chain(
+        state, target, s, n, steps=100, learning_rate=3e-3, exact=False,
+        key=jax.random.fold_in(key, 1), steps_per_call=10,
+        val_counts=val, val_patience=2,
+    )
+    assert info["best_step"] == 0
+    assert losses.shape[0] < 100  # early-stopped
+    # Selected params are the step-0 (undistilled) ones.
+    before = info["val_history"][0][1]
+    assert info["best_val_ce"] == before
+    leaves_a = jax.tree_util.tree_leaves(state.params)
+    leaves_b = jax.tree_util.tree_leaves(new_state.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

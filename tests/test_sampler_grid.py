@@ -153,3 +153,72 @@ def test_grid_precompute_matches_sequential_distribution(key):
     out_seq = diff.p_sample_grid(key, fn, basis, n, s, precompute=False)
     # Same key, same draws -> identical samples (tables are identical).
     np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_seq))
+
+
+def test_grid_p1_tables_divisor_poor_T():
+    """Chunked table precompute must be exact for prime/divisor-poor T
+    (chunks are padded with dummy rows and sliced, not forced to divide T)."""
+    n = 3
+    t_prime = 97
+    s = schedules.cosine_schedule(t_prime)
+    fn = _biased_denoiser(n)
+
+    # Force multi-chunk chunking by monkey-shrinking nothing: at n=3 the
+    # grid is 6^3=216 rows, so m = 2^17//216 = 606 >= T -> single chunk.
+    # Compare against the unchunked direct computation per timestep.
+    tables = np.asarray(diff.grid_p1_tables(fn, n, s, exact=False))
+    assert tables.shape == (t_prime, 6**n, n)
+    grid_x, grid_basis = diff._grid_enum(n)
+    for i, t in enumerate([t_prime, t_prime // 2, 1]):
+        row = t_prime - t  # scan order T..1
+        logits = fn(grid_x, jnp.full((grid_x.shape[0],), t, jnp.int32),
+                    grid_basis)
+        ref = diff._grid_p1_table(logits, grid_x, jnp.int32(t), s, False)
+        np.testing.assert_allclose(tables[row], np.asarray(ref), atol=1e-6)
+
+
+def test_grid_p1_tables_multichunk_padding():
+    """Same check with the padded chunking path actually engaged: a fat
+    circuit-conditioned grid shrinks the per-chunk timestep count m below
+    a prime T, so T does not divide into chunks and padding is required."""
+    n = 2
+    t_steps = 13  # prime: no divisor-based chunking possible
+    s = schedules.cosine_schedule(t_steps)
+
+    def fn(x, t, b):
+        b1 = b[..., 0] if b.ndim == 2 else b
+        tilt = (b1 % 3).astype(jnp.float32)[:, None] - 1.0
+        logit1 = (2.0 * x.astype(jnp.float32) - 1.0) * 1.5 + tilt
+        return jnp.stack([-logit1, logit1], axis=-1)
+
+    n_circ = 300  # gtot = 300*9*4 = 10800 -> m = 2^17//10800 = 12 < 13
+    tables = np.asarray(
+        diff.grid_p1_tables(fn, n, s, exact=False, num_circuits=n_circ)
+    )
+    gtot = n_circ * (3**n) * (2**n)
+    assert tables.shape == (t_steps, gtot, n)
+    grid_x, grid_basis = diff._grid_enum(n, n_circ)
+    for t in (t_steps, 12, 1):  # rows both sides of the chunk boundary
+        row = t_steps - t
+        logits = fn(grid_x, jnp.full((grid_x.shape[0],), t, jnp.int32),
+                    grid_basis)
+        ref = diff._grid_p1_table(logits, grid_x, jnp.int32(t), s, False)
+        np.testing.assert_allclose(tables[row], np.asarray(ref), atol=1e-6)
+
+
+def test_sample_all_bases_walk_seq(key):
+    """walk='seq' (no table precompute) must produce identically-keyed
+    samples to the xla walk path at grid scale."""
+    s = schedules.cosine_schedule(8)
+
+    def apply_fn(params, x, t, b):
+        tilt = (b % 3).astype(jnp.float32)[:, None] - 1.0
+        logit1 = (2.0 * x.astype(jnp.float32) - 1.0) * 1.5 + tilt
+        return jnp.stack([-logit1, logit1], axis=-1)
+
+    out_seq = diff.sample_all_bases(key, apply_fn, {}, 2, 400, s,
+                                    grid_mode="on", walk="seq")
+    out_xla = diff.sample_all_bases(key, apply_fn, {}, 2, 400, s,
+                                    grid_mode="on", walk="xla")
+    assert out_seq.shape == (9, 400, 2)
+    np.testing.assert_array_equal(np.asarray(out_seq), np.asarray(out_xla))
