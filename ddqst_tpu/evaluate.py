@@ -37,20 +37,14 @@ def _reconstruct_counts(
     if method == "mle":
         rec = mle_mod.make_mle(num_qubits, basis_labels, readout_p=readout_p)
         return rec(counts)
-    inv = pauli.make_inverter(num_qubits, basis_labels, readout_p=readout_p)
-    # Counts-native weighted inversion: the inverter's parity statistics
-    # accept sample weights, so feed the 2^N enumerated outcomes with their
-    # counts as weights — O(2^N) per basis instead of O(shots) per-shot
+    # Counts-native inversion (fast WHT parities) — O(B·N·2^N), no per-shot
     # unrolling (which at shadow scales would pad GB-sized host arrays).
     import jax.numpy as jnp
 
-    d = 2**num_qubits
-    x_enum = (
-        (np.arange(d)[:, None] >> np.arange(num_qubits)) & 1
-    ).astype(np.int8)  # [d, N]
-    weights = np.asarray(counts, np.float32)  # [B, d]
-    bits = np.broadcast_to(x_enum, (weights.shape[0], d, num_qubits))
-    return inv(jnp.asarray(bits), jnp.asarray(weights))
+    inv = pauli.make_counts_inverter(
+        num_qubits, basis_labels, readout_p=readout_p
+    )
+    return inv(jnp.asarray(np.asarray(counts, np.float32)))
 
 
 def evaluate_dataset(
@@ -107,11 +101,12 @@ def evaluate_dataset(
         zb = float(M.z_bias(samples[-1]))  # canonical last basis = Z...Z
 
     def gen_rho(bits):
+        counts = mle_mod.bits_to_counts(bits).astype(jnp.float32)
         if reconstruction == "mle":
-            return mle_mod.make_mle(num_qubits, readout_p=readout_p)(
-                mle_mod.bits_to_counts(bits)
-            )
-        return pauli.make_inverter(num_qubits, readout_p=readout_p)(bits)
+            return mle_mod.make_mle(num_qubits, readout_p=readout_p)(counts)
+        return pauli.make_counts_inverter(num_qubits, readout_p=readout_p)(
+            counts
+        )
 
     rho_gen = None if circuit_conditioned else gen_rho(samples)
 

@@ -12,6 +12,9 @@ from ddqst_tpu.ops.pauli import (  # noqa: F401
     all_basis_labels,
     linear_inversion,
     make_inverter,
+    make_counts_inverter,
+    coeffs_to_rho,
+    counts_parity_means,
     project_psd,
     subset_parity_means,
 )

@@ -133,6 +133,35 @@ def subset_parity_means(
     return jnp.einsum("bs,bsm->bm", w, par) / jnp.maximum(tot, 1.0)
 
 
+def counts_parity_means(counts: jnp.ndarray, num_qubits: int) -> jnp.ndarray:
+    """Mean parity of every qubit subset from outcome histograms.
+
+    The subset parities of a histogram are exactly its (unnormalised)
+    Walsh–Hadamard transform: ``p[b, m] = Σ_x counts[b, x]·(-1)^popcount(x&m)
+    / Σ_x counts[b, x]``. Computed with the fast WHT — N doubling passes,
+    O(B·N·2^N) — so reconstruction from counts never touches a per-shot
+    ``[B, S, 2^N]`` parity tensor (5.6 GB at N=7 with 2187×5000 shots).
+
+    Args:
+      counts: ``[B, 2^N]`` nonnegative outcome histograms; outcome index x
+        is little-endian (bit q of x = qubit q, the global convention).
+
+    Returns:
+      ``[B, 2^N]`` float32; column ``m`` as in :func:`subset_parity_means`.
+    """
+    b, d = counts.shape
+    x = counts.astype(jnp.float32)
+    tot = jnp.sum(x, axis=1, keepdims=True)
+    for q in range(num_qubits):
+        # [B, hi, 2, lo]: the middle axis is bit q of the outcome index.
+        xr = x.reshape(b, d // 2 ** (q + 1), 2, 2**q)
+        x = jnp.stack(
+            [xr[:, :, 0, :] + xr[:, :, 1, :], xr[:, :, 0, :] - xr[:, :, 1, :]],
+            axis=2,
+        ).reshape(b, d)
+    return x / jnp.maximum(tot, 1.0)
+
+
 def _compat_weights(
     num_qubits: int, basis_labels: np.ndarray, mode: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -165,6 +194,45 @@ def _compat_weights(
     else:
         raise ValueError(f"unknown compat mode: {mode!r}")
     return w, mask_idx
+
+
+_SINGLE_RE = _SINGLE.real.astype(np.float32)  # [4, 2, 2]
+_SINGLE_IM = _SINGLE.imag.astype(np.float32)
+
+
+def coeffs_to_rho(coeff: jnp.ndarray, num_qubits: int) -> CArray:
+    """Assemble ρ = (1/d) Σ_p c_p P_p by a factored per-qubit transform.
+
+    The Pauli strings are tensor products, so the [4^N]-coefficient → ρ
+    map factorises into N tiny contractions with the single-qubit Pauli
+    tensor S[p, i, j]: reshape c to (4,)*N (axis q = qubit q, matching
+    :func:`all_pauli_labels` order) and fold one axis at a time into the
+    growing (row, col) block. O(N·4^N) work and O(4^N) memory, versus the
+    dense ``[4^N, d, d]`` Pauli-stack einsum whose constants alone are
+    2.1 GB at N=7 — the lever that makes full linear inversion feasible
+    beyond the reference's N≤3 (``reconstruct.py:72-96`` loops Python-side
+    over 4^N strings; here even the dense stack is gone).
+    """
+    n = num_qubits
+    sr = jnp.asarray(_SINGLE_RE)
+    si = jnp.asarray(_SINGLE_IM)
+    tr = coeff.astype(jnp.float32).reshape((4,) * n + (1, 1))
+    ti = jnp.zeros_like(tr)
+    # Fold qubits N-1 .. 0 (the last remaining pauli axis each step), so
+    # each new qubit lands as the LOW row/col bit beneath the higher
+    # qubits already folded — the little-endian convention (qubit 0 = LSB).
+    for _ in range(n):
+        nr = jnp.einsum("...pab,pxy->...axby", tr, sr) - jnp.einsum(
+            "...pab,pxy->...axby", ti, si
+        )
+        ni = jnp.einsum("...pab,pxy->...axby", tr, si) + jnp.einsum(
+            "...pab,pxy->...axby", ti, sr
+        )
+        sh = nr.shape
+        new_shape = sh[: -4] + (sh[-4] * sh[-3], sh[-2] * sh[-1])
+        tr, ti = nr.reshape(new_shape), ni.reshape(new_shape)
+    d = 2**n
+    return CArray(tr / d, ti / d)
 
 
 def project_psd(rho: CArray) -> CArray:
@@ -206,6 +274,25 @@ def make_inverter(
       ``invert(bits [B, S, N], weights=None) -> rho`` as a split-real
       :class:`~ddqst_tpu.ops.complexlib.CArray`.
     """
+    parities_to_rho = _make_parities_to_rho(
+        num_qubits, basis_labels, compat_mode, psd, readout_p
+    )
+
+    @jax.jit
+    def invert(bits, weights=None) -> CArray:
+        return parities_to_rho(subset_parity_means(bits, weights))
+
+    return invert
+
+
+def _make_parities_to_rho(
+    num_qubits: int,
+    basis_labels: np.ndarray | None,
+    compat_mode: str,
+    psd: bool,
+    readout_p: float,
+):
+    """Shared core: per-basis subset parities ``[B, 2^N]`` → ρ."""
     if basis_labels is None:
         basis_labels = all_basis_labels(num_qubits)
     w_np, mask_idx_np = _compat_weights(num_qubits, basis_labels, compat_mode)
@@ -214,28 +301,48 @@ def make_inverter(
             (all_pauli_labels(num_qubits) != 0).sum(axis=1), np.float32
         )
         w_np = w_np * ((1.0 - 2.0 * readout_p) ** -mask_sizes)[:, None]
-    paulis_np = pauli_matrices(all_pauli_labels(num_qubits))  # [P, d, d]
-    dim = 2**num_qubits
     w = jnp.asarray(w_np)
     mask_idx = jnp.asarray(mask_idx_np)
-    paulis = from_complex(paulis_np)  # split re/im (no complex on TPU)
     identity_row = jnp.asarray(
         (all_pauli_labels(num_qubits) == 0).all(1), dtype=jnp.float32
     )
 
-    @jax.jit
-    def invert(bits, weights=None) -> CArray:
-        parities = subset_parity_means(bits, weights)  # [B, 2^N]
+    def parities_to_rho(parities: jnp.ndarray) -> CArray:
         selected = parities[:, mask_idx]  # [B, P]
         coeff = jnp.einsum("pb,bp->p", w, selected)
         coeff = coeff * (1.0 - identity_row) + identity_row  # <I..I> == 1
-        rho = CArray(
-            jnp.einsum("p,pij->ij", coeff, paulis.re) / dim,
-            jnp.einsum("p,pij->ij", coeff, paulis.im) / dim,
-        )
+        rho = coeffs_to_rho(coeff, num_qubits)  # factored, no [4^N,d,d] stack
         return cl_project_psd(rho) if psd else rho
 
-    return invert
+    return parities_to_rho
+
+
+def make_counts_inverter(
+    num_qubits: int,
+    basis_labels: np.ndarray | None = None,
+    compat_mode: str = "mean",
+    psd: bool = True,
+    readout_p: float = 0.0,
+):
+    """Counts-native linear inversion: ``invert(counts [B, 2^N]) -> rho``.
+
+    Same estimator as :func:`make_inverter` but fed outcome histograms
+    (counts over the 2^N little-endian outcomes per basis) instead of
+    per-shot bit arrays; parities come from the fast Walsh–Hadamard
+    transform (:func:`counts_parity_means`). This is the scalable path for
+    large N / shot counts — O(B·N·2^N) with no per-shot intermediate —
+    whereas the reference rescans raw sample lists per Pauli string
+    (``multi_qubit_any_state/reconstruct.py:32-49``).
+    """
+    parities_to_rho = _make_parities_to_rho(
+        num_qubits, basis_labels, compat_mode, psd, readout_p
+    )
+
+    @jax.jit
+    def invert_counts(counts) -> CArray:
+        return parities_to_rho(counts_parity_means(counts, num_qubits))
+
+    return invert_counts
 
 
 @functools.lru_cache(maxsize=32)

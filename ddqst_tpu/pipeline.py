@@ -506,12 +506,15 @@ def run_experiment(
     labels = data.basis_labels if denoised else None
 
     def reconstruct(bits, p):
+        # Counts-native both ways: scatter-add histogram then WHT parities —
+        # never a per-shot [B, S, 2^N] parity tensor (5.6 GB at N=7).
+        counts = mle.bits_to_counts(bits).astype(jnp.float32)
         if cfg.data.reconstruction == "mle":
             rec = mle.make_mle(cfg.data.num_qubits, labels, readout_p=p)
-            return rec(mle.bits_to_counts(bits))
-        return pauli.make_inverter(
+            return rec(counts)
+        return pauli.make_counts_inverter(
             cfg.data.num_qubits, labels, readout_p=p
-        )(bits)
+        )(counts)
 
     rho = reconstruct(samples, sample_p)
     if denoised:
@@ -528,8 +531,9 @@ def run_experiment(
     # Baseline: inversion on the raw (noisy) training shots — unmitigated
     # linear inversion (reference parity, ``multi_qubit_special_states/
     # main.py:136-164``) plus the configured estimator when it differs.
-    inv_raw = pauli.make_inverter(cfg.data.num_qubits, data.basis_labels)
-    rho_raw = inv_raw(data.bits)
+    raw_counts = mle.bits_to_counts(data.bits).astype(jnp.float32)
+    inv_raw = pauli.make_counts_inverter(cfg.data.num_qubits, data.basis_labels)
+    rho_raw = inv_raw(raw_counts)
     fid_raw = M.state_fidelity(target, rho_raw)
     fid_raw_mit = None
     if mit_p > 0 or cfg.data.reconstruction != "linear":
@@ -537,11 +541,11 @@ def run_experiment(
             rec = mle.make_mle(
                 cfg.data.num_qubits, data.basis_labels, readout_p=mit_p
             )
-            rho_raw_best = rec(mle.bits_to_counts(data.bits))
+            rho_raw_best = rec(raw_counts)
         else:
-            rho_raw_best = pauli.make_inverter(
+            rho_raw_best = pauli.make_counts_inverter(
                 cfg.data.num_qubits, data.basis_labels, readout_p=mit_p
-            )(data.bits)
+            )(raw_counts)
         fid_raw_mit = float(M.state_fidelity(target, rho_raw_best))
 
     results = {

@@ -119,6 +119,48 @@ def test_project_psd_properties(rng):
     np.testing.assert_allclose(rho2, rho, atol=1e-5)
 
 
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_coeffs_to_rho_matches_dense_stack(n, rng):
+    # Factored per-qubit assembly == dense [4^N, d, d] Pauli-stack einsum.
+    c = rng.normal(size=(4**n,)).astype(np.float32)
+    mats = pauli.pauli_matrices(pauli.all_pauli_labels(n))
+    dense = np.einsum("p,pij->ij", c, mats) / 2**n
+    got = pauli.coeffs_to_rho(jnp.asarray(c), n)
+    np.testing.assert_allclose(np.asarray(got.re), dense.real, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.im), dense.imag, atol=1e-5)
+
+
+def test_counts_parity_means_matches_per_shot(rng):
+    # WHT-of-histogram parities == per-shot parity means on the same data.
+    n, b, s = 3, 5, 64
+    bits = rng.integers(0, 2, size=(b, s, n))
+    idx = (bits * (1 << np.arange(n))).sum(-1)  # [B, S] little-endian
+    counts = np.zeros((b, 2**n), np.float32)
+    for i in range(b):
+        np.add.at(counts[i], idx[i], 1.0)
+    got = pauli.counts_parity_means(jnp.asarray(counts), n)
+    want = pauli.subset_parity_means(jnp.asarray(bits))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_counts_inverter_matches_bits_inverter(rng):
+    psi = np.zeros(4, dtype=np.complex64)
+    psi[0] = psi[3] = 1 / np.sqrt(2)
+    bits = _perfect_samples_for_state(psi, 2, shots=4000, rng=rng)
+    idx = np.asarray((np.asarray(bits) * (1 << np.arange(2))).sum(-1))
+    counts = np.zeros((bits.shape[0], 4), np.float32)
+    for i in range(bits.shape[0]):
+        np.add.at(counts[i], idx[i], 1.0)
+    rho_bits = pauli.make_inverter(2)(bits)
+    rho_counts = pauli.make_counts_inverter(2)(jnp.asarray(counts))
+    np.testing.assert_allclose(
+        np.asarray(rho_bits.re), np.asarray(rho_counts.re), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rho_bits.im), np.asarray(rho_counts.im), atol=1e-5
+    )
+
+
 def test_make_inverter_partial_bases(rng):
     # Inversion from a shadow subset of bases still returns a valid state.
     psi = np.zeros(8, dtype=np.complex64)
