@@ -25,6 +25,7 @@ from ddqst_tpu.ops.complexlib import (
     cmatvec,
     cvdot_real,
     embed_hermitian,
+    f32_matmul,
     from_complex,
     sqrtm_psd,
 )
@@ -40,11 +41,14 @@ def as_carray(x) -> CArray:
     return from_complex(np.asarray(x))
 
 
+@f32_matmul
 def state_fidelity(rho, sigma) -> jnp.ndarray:
     """Uhlmann fidelity F(ρ,σ) = (tr √(√ρ σ √ρ))².
 
     Accepts statevectors (1-D) for either argument — the pure shortcut
-    ⟨ψ|·|ψ⟩ / |⟨ψ|φ⟩|² is used where possible.
+    ⟨ψ|·|ψ⟩ / |⟨ψ|φ⟩|² is used where possible. Runs at float32 matmul
+    precision: the sqrtm/eigh-product chain drifts at the 1e-3 level
+    under the TPU's default bf16 matmuls.
     """
     rho, sigma = as_carray(rho), as_carray(sigma)
     if rho.ndim == 1 and sigma.ndim == 1:
@@ -84,6 +88,7 @@ def _pure_to_dm(psi: CArray) -> CArray:
     )
 
 
+@f32_matmul
 def trace_distance(rho, sigma) -> jnp.ndarray:
     """T(ρ,σ) = ½ tr|ρ−σ| = ½ Σ|λ_i(ρ−σ)|.
 

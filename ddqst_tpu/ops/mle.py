@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ddqst_tpu.ops.complexlib import CArray, cmatmul, from_complex
+from ddqst_tpu.ops.complexlib import CArray, cmatmul, f32_matmul, from_complex
 from ddqst_tpu.ops.pauli import all_basis_labels
 
 
@@ -181,6 +181,7 @@ def make_mle(
     povm = from_complex(_povm_elements(num_qubits, basis_labels, readout_p))
     eye = jnp.eye(d, dtype=jnp.float32)
 
+    @f32_matmul
     @jax.jit
     def reconstruct(counts: jnp.ndarray) -> CArray:
         freqs = counts / jnp.maximum(
@@ -262,6 +263,7 @@ def _make_mle_factored(
             tr, ti = _apply_right_dag(tr, ti, fr[:, q], fi[:, q], q, n)
         return tr, ti
 
+    @f32_matmul
     @jax.jit
     def reconstruct(counts: jnp.ndarray) -> CArray:
         freqs = counts / jnp.maximum(

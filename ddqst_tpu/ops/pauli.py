@@ -35,6 +35,7 @@ import numpy as np
 
 from ddqst_tpu.ops.complexlib import (
     CArray,
+    f32_matmul,
     from_complex,
     project_psd as cl_project_psd,
 )
@@ -278,6 +279,7 @@ def make_inverter(
         num_qubits, basis_labels, compat_mode, psd, readout_p
     )
 
+    @f32_matmul
     @jax.jit
     def invert(bits, weights=None) -> CArray:
         return parities_to_rho(subset_parity_means(bits, weights))
@@ -338,6 +340,7 @@ def make_counts_inverter(
         num_qubits, basis_labels, compat_mode, psd, readout_p
     )
 
+    @f32_matmul
     @jax.jit
     def invert_counts(counts) -> CArray:
         return parities_to_rho(counts_parity_means(counts, num_qubits))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ddqst_tpu.ops.complexlib import CArray, ceinsum, from_complex
+from ddqst_tpu.ops.complexlib import CArray, ceinsum, f32_matmul, from_complex
 from ddqst_tpu.qsim import gates as G
 
 _ROT1 = np.stack([G.H, G.H @ G.SDG, G.I])  # [3, 2, 2]: X, Y, Z
@@ -62,6 +62,7 @@ def measurement_probs(psi, basis_label) -> jnp.ndarray:
     return phi.abs2()
 
 
+@f32_matmul
 @jax.jit
 def batched_probs_pure(psis: CArray, rots: CArray) -> jnp.ndarray:
     """``[C, d]`` states x ``[B, d, d]`` rotations -> ``[C, B, d]`` probs.
@@ -73,6 +74,7 @@ def batched_probs_pure(psis: CArray, rots: CArray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+@f32_matmul
 @jax.jit
 def batched_probs_mixed(rhos: CArray, rots: CArray) -> jnp.ndarray:
     """``[C, d, d]`` density matrices x ``[B, d, d]`` rotations -> ``[C, B, d]``.
@@ -88,6 +90,7 @@ def batched_probs_mixed(rhos: CArray, rots: CArray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+@f32_matmul
 @jax.jit
 def batched_probs_pure_per_circuit(psis: CArray, rots: CArray) -> jnp.ndarray:
     """``[C, d]`` states x per-circuit ``[C, B, d, d]`` rotations -> ``[C, B, d]``.
@@ -101,6 +104,7 @@ def batched_probs_pure_per_circuit(psis: CArray, rots: CArray) -> jnp.ndarray:
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+@f32_matmul
 @jax.jit
 def batched_probs_mixed_per_circuit(rhos: CArray, rots: CArray) -> jnp.ndarray:
     """``[C, d, d]`` density matrices x ``[C, B, d, d]`` rotations."""
