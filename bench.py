@@ -86,7 +86,55 @@ def main() -> None:
     dt = time.perf_counter() - t0
     sampled_per_sec = (3**n) * shots / dt
 
-    # --- End-to-end GHZ-3 reconstruction fidelity ------------------------
+    # --- Pallas fused-walk throughput at the 1e6-chain regime ------------
+    # The round-2 perf headline (17.8M bitstrings/s in RESULTS.md prose),
+    # captured here so BENCH_r*.json confirms it round-over-round. Timed
+    # end-to-end through sample_all_bases (table precompute + walk).
+    pallas_walk_per_sec = None
+    try:
+        shots_1m = 37037  # 27 bases x 37037 = 1.0e6 chains, one dispatch
+        args_1m = (state.apply_fn, {"params": state.params}, n, shots_1m,
+                   schedule)
+        out = diff.sample_all_bases(
+            jax.random.fold_in(key, 200), *args_1m, walk="pallas"
+        )
+        _ = float(jnp.sum(out))  # warm
+        t0 = time.perf_counter()
+        out = diff.sample_all_bases(
+            jax.random.fold_in(key, 201), *args_1m, walk="pallas"
+        )
+        _ = float(jnp.sum(out))
+        pallas_walk_per_sec = (3**n) * shots_1m / (time.perf_counter() - t0)
+    except Exception as err:
+        print(f"# pallas walk bench failed: {err!r}", flush=True)
+
+    # --- Transformer shadow-route sampling throughput (N=10) -------------
+    shadow_per_sec = None
+    try:
+        shadow = get_preset("shadow_transformer")
+        n10 = shadow.data.num_qubits
+        sched10 = make_schedule(
+            shadow.diffusion.schedule, shadow.diffusion.num_timesteps
+        )
+        model10 = build_model(shadow.model, n10, shadow.diffusion.num_timesteps)
+        state10 = training.create_state(
+            jax.random.fold_in(key, 300), model10, shadow.train, n10
+        )
+        labels10 = jnp.asarray(
+            np.random.default_rng(1).integers(0, 3, (50, n10)), jnp.int32
+        )
+        sargs = (state10.apply_fn, {"params": state10.params}, labels10,
+                 2000, sched10)
+        out = diff.sample_for_bases(jax.random.fold_in(key, 301), *sargs)
+        _ = float(jnp.sum(out))  # warm
+        t0 = time.perf_counter()
+        out = diff.sample_for_bases(jax.random.fold_in(key, 302), *sargs)
+        _ = float(jnp.sum(out))
+        shadow_per_sec = 50 * 2000 / (time.perf_counter() - t0)
+    except Exception as err:
+        print(f"# shadow transformer bench failed: {err!r}", flush=True)
+
+    # --- End-to-end GHZ-3 reconstruction fidelity (min over 3 seeds) -----
     from ddqst_tpu import pipeline
 
     e2e = get_preset("rqc").replace(name="bench_ghz3")
@@ -97,11 +145,11 @@ def main() -> None:
         train=e2e.train.__class__(
             batch_size=1024, learning_rate=1e-3, optimizer="adam",
             num_epochs=300, lr_schedule="cosine", log_every=0, eval_every=0,
-            # Exact-chain distillation: descend the sampler's true output
-            # distribution against the training counts after CE training
-            # (train.finetune_chain) — closes the CE-surrogate bias that
-            # capped the generative pipeline at ~0.986 in round 1.
-            chain_finetune_steps=400, chain_lr=3e-4,
+            # Exact-chain distillation with the AUTOMATED temperature
+            # (held-out step selection, train.finetune_chain val_counts):
+            # one recipe across N instead of per-N hand tuning.
+            chain_finetune_steps=800, chain_lr=3e-4,
+            chain_val_fraction=0.15,
         ),
         data=e2e.data.__class__(
             num_qubits=3, state_type="ghz", noise_type="readout",
@@ -110,15 +158,46 @@ def main() -> None:
             reconstruction="mle",
         ),
     )
+    fids, raws, mles = [], [], []
+    for seed in range(3):
+        try:
+            r = pipeline.run_experiment(e2e, seed=seed, log_fn=lambda *a: None)
+            fids.append(r["fidelity"])
+            raws.append(r["raw_fidelity"])
+            mles.append(r["raw_fidelity_mitigated"])
+        except Exception as err:  # never lose the throughput numbers
+            print(f"# e2e seed {seed} failed: {err!r}", flush=True)
+    res = {
+        "fidelity": min(fids) if fids else float("nan"),
+        "raw_fidelity": min(raws) if raws else float("nan"),
+        "raw_fidelity_mitigated": (
+            min(m for m in mles if m is not None) if mles else float("nan")
+        ),
+    }
+
+    # --- RQC-3 @ 20k shots: the BASELINE >=0.99 target (1 seed) ----------
+    rqc3_fid = None
     try:
-        res = pipeline.run_experiment(e2e, seed=0, log_fn=lambda *a: None)
-    except Exception as err:  # never lose the throughput numbers
-        res = {
-            "fidelity": float("nan"),
-            "raw_fidelity": float("nan"),
-            "raw_fidelity_mitigated": float("nan"),
-        }
-        print(f"# e2e failed: {err!r}", flush=True)
+        rqc3 = e2e.replace(
+            name="bench_rqc3",
+            train=e2e.train.__class__(
+                batch_size=1024, learning_rate=1e-3, optimizer="adam",
+                num_epochs=300, lr_schedule="cosine", log_every=0,
+                eval_every=0, chain_finetune_steps=800, chain_lr=3e-4,
+                chain_val_fraction=0.15, chain_target="mle",
+            ),
+            data=e2e.data.__class__(
+                num_qubits=3, state_type="rqc", noise_type="readout",
+                shots_train=20000, shots_infer=50000,
+                mitigate_readout=True, mitigate_train_data=True,
+                reconstruction="mle",
+            ),
+        )
+        rqc3_fid = pipeline.run_experiment(
+            rqc3, seed=0, log_fn=lambda *a: None
+        )["fidelity"]
+    except Exception as err:
+        print(f"# rqc3 bench failed: {err!r}", flush=True)
 
     record = {
         "metric": "train_steps_per_sec",
@@ -131,13 +210,26 @@ def main() -> None:
         "sampling_vs_baseline": round(
             sampled_per_sec / TORCH_CPU_SAMPLED_BITSTRINGS_PER_SEC, 2
         ),
-        # D3PM generative pipeline (train -> sample -> noise-aware MLE):
+        # D3PM generative pipeline (train -> sample -> noise-aware MLE),
+        # MIN over 3 seeds — robust to seed spread:
         "ghz3_fidelity": _r5(res["fidelity"]),
+        "ghz3_fidelity_seeds": [_r5(f) for f in fids],
         # Reference-parity baseline (plain linear inversion on raw shots):
         "ghz3_raw_fidelity": _r5(res["raw_fidelity"]),
         # Framework-best estimator (noise-aware MLE on raw shots):
         "ghz3_mle_fidelity": _r5(res["raw_fidelity_mitigated"]),
         "ghz3_fidelity_reference": 0.87092,  # notes.pdf Table 3
+        # BASELINE.md's RQC-3 target through the generative pipeline
+        # (20k shots, automated distillation, MLE-projected target):
+        "rqc3_fidelity": _r5(rqc3_fid),
+        # Round-2 perf headlines, captured round-over-round:
+        "pallas_walk_bitstrings_per_sec": (
+            None if pallas_walk_per_sec is None
+            else round(pallas_walk_per_sec, 1)
+        ),
+        "shadow_transformer_bitstrings_per_sec": (
+            None if shadow_per_sec is None else round(shadow_per_sec, 1)
+        ),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(record))

@@ -72,6 +72,17 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                         "step-select distillation on held-out chain CE "
                         "(automated distillation temperature; 0 = off)")
     p.add_argument("--chain_val_patience", type=int)
+    p.add_argument("--chain_basis_batch", type=int,
+                   help="bases per distillation step (0 = full grid); the "
+                        "memory bound at N>=6 and at shadow scale")
+    p.add_argument("--chain_steps_per_call", type=int,
+                   help="distillation steps per device dispatch (relay "
+                        "wedge bound; lower for expensive models)")
+    p.add_argument("--chain_target", choices=["counts", "mle"],
+                   help="distill against raw per-basis count frequencies "
+                        "('counts') or the Born distribution of the MLE "
+                        "projection of those counts ('mle': bakes the "
+                        "cross-basis PSD constraint into the chain)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint_dir")
     p.add_argument("--data_parallel", type=int, default=0,

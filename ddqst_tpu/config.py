@@ -87,6 +87,14 @@ class TrainConfig:
     # 0 = hand-tuned behaviour (run exactly chain_finetune_steps steps).
     chain_val_fraction: float = 0.0
     chain_val_patience: int = 4  # non-improving held-out evals before stop
+    # Distillation target: 'counts' matches the chain to the per-basis
+    # training-count frequencies; 'mle' first projects those counts through
+    # the (PSD, trace-1) MLE manifold and matches the chain to the Born
+    # distribution of the MLE estimate. Per-basis counts cannot express the
+    # cross-basis positivity constraint — the measured gap between the
+    # generative pipeline and MLE-on-raw (RESULTS.md) — so 'mle' bakes the
+    # physical constraint into the generative model itself.
+    chain_target: str = "counts"
     # Distillation steps per device dispatch (this environment's TPU
     # worker dies on single programs running >~2-4 min; lower for
     # expensive per-step models like the transformer).

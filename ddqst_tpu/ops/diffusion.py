@@ -538,6 +538,7 @@ def chain_distribution(
     schedule: DiffusionSchedule,
     exact: bool | None = None,
     basis_idx: jnp.ndarray | None = None,
+    basis_labels: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """EXACT output distribution of the reverse sampler, per canonical basis.
 
@@ -562,20 +563,32 @@ def chain_distribution(
     the distillation loss over bases when the full 3^N·2^N grid does not
     fit (e.g. N=6: 46,656 rows).
 
-    Returns ``[len(basis_idx) or 3^N, 2^N]`` float32 outcome probabilities.
+    ``basis_labels`` (``[B, N]`` per-qubit labels, mutually exclusive with
+    ``basis_idx``) conditions the chain the way the shadow route does
+    (transformer denoiser, sampled shadow bases): the chain is computed
+    for exactly those B bases. This extends exact-chain distillation to
+    shadow scale — 2^N chain states is tractable through N≈10 (1024-state
+    chain, [B, 2^N, 2^N] MXU matmuls per step) even though the 3^N basis
+    enumeration is not.
+
+    Returns ``[B or 3^N, 2^N]`` float32 outcome probabilities.
     """
     exact = _resolve_exact(schedule, exact)
-    if basis_idx is None:
-        basis_idx = jnp.arange(3**num_qubits, dtype=jnp.int32)
-    num_bases = basis_idx.shape[0]
     g = 2**num_qubits
+    if basis_labels is not None:
+        num_bases = basis_labels.shape[0]
+        grid_cond = jnp.repeat(basis_labels.astype(jnp.int32), g, axis=0)
+    else:
+        if basis_idx is None:
+            basis_idx = jnp.arange(3**num_qubits, dtype=jnp.int32)
+        num_bases = basis_idx.shape[0]
+        grid_cond = jnp.repeat(basis_idx.astype(jnp.int32), g)
 
     x_enum = (
         (jnp.arange(g, dtype=jnp.int32)[:, None] >> jnp.arange(num_qubits))
         & 1
     ).astype(jnp.int8)
     grid_x = jnp.tile(x_enum, (num_bases, 1))
-    grid_basis = jnp.repeat(basis_idx.astype(jnp.int32), g)
     y_bits = x_enum.astype(jnp.float32)  # [2^N, N]
 
     dist0 = jnp.full((num_bases, g), 1.0 / g, jnp.float32)
@@ -590,16 +603,20 @@ def chain_distribution(
     @jax.checkpoint
     def step(dist, t):
         t_vec = jnp.full((grid_x.shape[0],), t, dtype=jnp.int32)
-        logits = denoise_fn(grid_x, t_vec, grid_basis)
+        logits = denoise_fn(grid_x, t_vec, grid_cond)
         p1 = _grid_p1_table(logits, grid_x, t, schedule, exact).reshape(
             num_bases, g, num_qubits
         )
-        # T[b, x, y] = prod_q bernoulli(y_q; p1[b, x, q]).
-        probs_per_bit = (
-            p1[:, :, None, :] * y_bits[None, None, :, :]
-            + (1.0 - p1[:, :, None, :]) * (1.0 - y_bits[None, None, :, :])
-        )
-        trans = jnp.prod(probs_per_bit, axis=-1)  # [B, x, y]
+        # T[b, x, y] = prod_q bernoulli(y_q; p1[b, x, q]). Accumulated
+        # per qubit so the [B, x, y, N] intermediate is never
+        # materialised — at shadow scale (N=10, g=1024) that tensor is
+        # ~0.7 GB per minibatch of 16 bases; the running [B, x, y]
+        # product is N fused elementwise ops instead.
+        trans = jnp.ones((num_bases, g, g), jnp.float32)
+        for q in range(num_qubits):
+            pq = p1[:, :, None, q]
+            yq = y_bits[None, None, :, q]
+            trans = trans * (pq * yq + (1.0 - pq) * (1.0 - yq))
         new = jnp.einsum("bx,bxy->by", dist, trans)
         return new / jnp.sum(new, axis=-1, keepdims=True), None
 

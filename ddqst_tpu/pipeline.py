@@ -25,7 +25,7 @@ from ddqst_tpu.ops import diffusion as diff
 from ddqst_tpu.ops import metrics as M
 from ddqst_tpu.ops import mle
 from ddqst_tpu.ops import pauli
-from ddqst_tpu.ops.complexlib import from_complex, to_complex
+from ddqst_tpu.ops.complexlib import CArray, from_complex, to_complex
 from ddqst_tpu.ops.schedules import make_schedule
 from ddqst_tpu.qsim import measure, noise, states
 from ddqst_tpu import train as training
@@ -269,6 +269,51 @@ def _run_shadow_experiment(
         k_train, model, x, labels, cfg.train, schedule, mesh=mesh,
         log_fn=log_fn,
     )
+    if cfg.train.chain_finetune_steps > 0:
+        # Shadow-scale exact-chain distillation: the 2^N-state chain is
+        # tractable through N≈10 even though the 3^N basis enumeration is
+        # not — the chain is computed for exactly the sampled shadow
+        # bases via per-qubit label conditioning
+        # (chain_distribution(basis_labels=...)). Same bias-variance
+        # automation as the full route: held-out shots select the stop
+        # step when chain_val_fraction > 0.
+        log_fn(
+            f"[{cfg.name}] shadow-scale chain distillation: "
+            f"{cfg.train.chain_finetune_steps} steps over {b_bases} bases"
+        )
+        labels_arr = jnp.asarray(data.basis_labels, jnp.int32)
+        vf = cfg.train.chain_val_fraction
+        val_counts = None
+        if vf > 0:
+            s_val = min(max(int(round(vf * s)), 1), s - 1)
+            tgt_counts = mle.bits_to_counts(data.bits[:, : s - s_val])
+            val_counts = mle.bits_to_counts(data.bits[:, s - s_val :])
+        else:
+            tgt_counts = mle.bits_to_counts(data.bits)
+        state, ft_losses, ft_info = training.finetune_chain(
+            state, tgt_counts, schedule, n,
+            steps=cfg.train.chain_finetune_steps,
+            learning_rate=cfg.train.chain_lr,
+            exact=cfg.diffusion.exact,
+            basis_batch=cfg.train.chain_basis_batch,
+            key=jax.random.fold_in(k_train, 0xD157),
+            steps_per_call=cfg.train.chain_steps_per_call,
+            val_counts=val_counts,
+            val_patience=cfg.train.chain_val_patience,
+            basis_labels=labels_arr,
+        )
+        msg = (
+            f"[{cfg.name}] chain CE (all shadow bases) "
+            f"{ft_info['train_ce_before']:.5f} -> "
+            f"{ft_info['train_ce_after']:.5f}"
+        )
+        if val_counts is not None:
+            msg += (
+                f"; held-out best {ft_info['best_val_ce']:.5f} at step "
+                f"{ft_info['best_step']} (ran {ft_losses.shape[0]} of "
+                f"{cfg.train.chain_finetune_steps})"
+            )
+        log_fn(msg)
     shots_gen = max(cfg.data.shots_infer, 1)
     samples = diff.sample_for_bases(
         k_sample, state.apply_fn, {"params": state.params},
@@ -349,11 +394,15 @@ def run_experiment(
         f"noise={cfg.data.noise_type} shots={cfg.data.shots_train}"
     )
     data = generate_training_data(cfg, k_data, rng)
-    if cfg.data.num_qubits > 6:
-        # Density-matrix reconstruction needs the 4^N Pauli expansion —
-        # infeasible beyond N≈6 (the reference likewise reconstructs only
-        # at N ≤ 3). Shadow-scale runs use per-qubit basis conditioning and
-        # evaluate at the distribution level instead.
+    n = cfg.data.num_qubits
+    if n > 7 or (n == 7 and cfg.data.max_bases):
+        # Shadow-scale route: per-qubit basis conditioning, evaluation at
+        # the distribution level (no density matrix). Full reconstruction
+        # is feasible through N=7 (2187 bases, 16384 Pauli coefficients)
+        # because the factored MLE, the WHT counts-native inversion and the
+        # factored Pauli assembly never materialise 4^N·d² intermediates —
+        # the reference reconstructs only at N ≤ 3. Beyond N=7 (or under a
+        # shadow basis cap) the full 3^N enumeration is the binding cost.
         return _run_shadow_experiment(
             cfg, data, k_train, k_sample, log_fn, mesh=mesh
         )
@@ -401,6 +450,27 @@ def run_experiment(
                 val_counts = mle.bits_to_counts(data.bits[:, s - s_val :])
             else:
                 tgt_counts = mle.bits_to_counts(data.bits)
+            if cfg.train.chain_target == "mle":
+                # Physics-constrained target: project the training counts
+                # through the (PSD, trace-1) MLE manifold and distill the
+                # chain against the Born distribution of the estimate. The
+                # per-basis counts target cannot express the cross-basis
+                # positivity constraint — the measured gap between the
+                # generative pipeline and MLE-on-raw (RESULTS.md
+                # "distillation target ablation"). readout_p=0 here: the
+                # target must live in the same domain the chain is matched
+                # in (clean when mitigate_train_data resampled the bits,
+                # raw otherwise); held-out selection still scores against
+                # actual held-out counts, so a bad projection loses fairly.
+                rec = mle.make_mle(cfg.data.num_qubits, data.basis_labels)
+                rho_t = rec(jnp.asarray(tgt_counts, jnp.float32))
+                rots = from_complex(
+                    measure.rotation_unitaries(data.basis_labels)
+                )
+                tgt_counts = measure.batched_probs_mixed(
+                    CArray(rho_t.re[None], rho_t.im[None]), rots
+                )[0]
+                log_fn(f"[{cfg.name}] distillation target: MLE Born probs")
             state, ft_losses, ft_info = training.finetune_chain(
                 state, tgt_counts, schedule,
                 cfg.data.num_qubits,

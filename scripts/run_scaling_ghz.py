@@ -26,6 +26,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def auto_recipe(cfg, *, basis_batch: int = 0, steps_per_call: int = 25,
+                epochs: int | None = None):
+    """THE automated distillation recipe (one config across N).
+
+    Generous step budget at a hot learning rate; the held-out step
+    selection (train.finetune_chain val_counts) picks the temperature —
+    replacing the per-N hand tuning of round 2 (hot won +0.43 at N=6 but
+    lost 0.057 at N=5; the held-out criterion adjudicates that trade
+    automatically). ``basis_batch`` is a memory bound at N>=6 (grid rows
+    per step), not a temperature knob.
+    """
+    tr = cfg.train
+    return cfg.replace(train=tr.__class__(
+        batch_size=1024, learning_rate=1e-3, optimizer="adam",
+        num_epochs=tr.num_epochs if epochs is None else epochs,
+        lr_schedule="cosine", log_every=0, eval_every=0,
+        chain_finetune_steps=800, chain_lr=1e-3,
+        chain_val_fraction=0.15, chain_val_patience=4,
+        chain_basis_batch=basis_batch, chain_steps_per_call=steps_per_call,
+    ))
+
+
 def experiments():
     from run_parity_suite import quality_cfg
 
@@ -130,6 +152,35 @@ def experiments():
         chain_finetune_steps=800, chain_lr=1e-3, chain_basis_batch=96))
     yield ("ghz5_distilled_hot", cfg5h,
            "GHZ-5 + hot distillation recipe")
+    # --- Round 3: the ONE automated recipe across N (auto_recipe) --------
+    # Same protocol, no per-N tuning: 800 steps @ lr 1e-3, held-out step
+    # selection (chain_val_fraction=0.15). Done-criterion: matches or
+    # beats the hand-tuned rows above at N=3, 5, 6 (VERDICT r2 #2).
+    yield ("ghz3_auto", auto_recipe(quality_cfg(
+        "ghz3_auto", num_qubits=3, state="ghz", shots_train=5000,
+        shots_infer=50000, noise="readout",
+    )), "GHZ-3, automated distillation recipe")
+    yield ("ghz5_auto", auto_recipe(quality_cfg(
+        "ghz5_auto", num_qubits=5, state="ghz", shots_train=5000,
+        shots_infer=20000, noise="readout",
+    )), "GHZ-5, automated distillation recipe")
+    yield ("ghz6_auto", auto_recipe(quality_cfg(
+        "ghz6_auto", num_qubits=6, state="ghz", shots_train=5000,
+        shots_infer=10000, noise="readout",
+    ), basis_batch=96, epochs=150),
+        "GHZ-6, automated distillation recipe (96-basis minibatch)")
+    # --- GHZ-7: 2187 bases, full density-matrix reconstruction -----------
+    # 2.33x the reference's max system size. Feasible only because nothing
+    # on the path materialises 4^N·d² or per-shot 2^N intermediates:
+    # factored MLE (ops/mle.py), WHT counts-native inversion + factored
+    # Pauli assembly (ops/pauli.py), minibatched distillation, chunked
+    # generation. shots_train=3000 bounds the epoch at ~6.4M rows; 30
+    # epochs keeps the training leg inside the relay wedge horizon.
+    yield ("ghz7_auto", auto_recipe(quality_cfg(
+        "ghz7_auto", num_qubits=7, state="ghz", shots_train=3000,
+        shots_infer=5000, noise="readout",
+    ), basis_batch=64, epochs=30, steps_per_call=10),
+        "GHZ-7: 2187 bases, automated recipe (frontier)")
 
 
 def main():

@@ -46,6 +46,15 @@ def main():
                     help="reverse-sampler rule (default: preset's, renoise)")
     ap.add_argument("--mitigate", action="store_true",
                     help="train on readout-mitigated counts")
+    ap.add_argument("--distill_steps", type=int, default=0,
+                    help="shadow-scale exact-chain distillation steps "
+                         "(2^10-state chain over the sampled bases)")
+    ap.add_argument("--distill_lr", type=float, default=1e-3)
+    ap.add_argument("--distill_basis_batch", type=int, default=16)
+    ap.add_argument("--distill_steps_per_call", type=int, default=5)
+    ap.add_argument("--distill_val", type=float, default=0.15,
+                    help="held-out shot fraction for automated step "
+                         "selection (0 = run all steps)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="examples/results_shadow.jsonl")
     args = ap.parse_args()
@@ -70,6 +79,11 @@ def main():
             batch_size=args.batch, learning_rate=args.lr, optimizer="adam",
             num_epochs=args.epochs, lr_schedule="cosine",
             ema_decay=args.ema, log_every=0, eval_every=0,
+            chain_finetune_steps=args.distill_steps,
+            chain_lr=args.distill_lr,
+            chain_basis_batch=args.distill_basis_batch,
+            chain_steps_per_call=args.distill_steps_per_call,
+            chain_val_fraction=args.distill_val,
         ),
         data=base.data.__class__(
             num_qubits=10, state_type="rqc", noise_type="readout",
@@ -85,6 +99,7 @@ def main():
         "tag": args.tag,
         "epochs": args.epochs,
         "model": [args.embed, args.hidden, args.blocks, args.heads],
+        "distill_steps": args.distill_steps,
         "ema": args.ema,
         "sampler": cfg.diffusion.sampler,
         "mitigate": args.mitigate,

@@ -90,6 +90,36 @@ def test_chain_distillation_closes_generative_gap():
     assert tuned["fidelity"] > 0.98, (plain["fidelity"], tuned["fidelity"])
 
 
+def test_chain_distillation_mle_target():
+    """chain_target='mle' distills against the Born distribution of the
+    MLE projection of the training counts (the cross-basis PSD constraint
+    baked into the chain); it must run end-to-end and reach the same
+    quality level as the counts target on an easy Bell case."""
+    base = get_preset("rqc")
+    cfg = base.replace(
+        name="ft_mle_target",
+        diffusion=base.diffusion.__class__(
+            num_timesteps=12, schedule="cosine", sampler="renoise"
+        ),
+        train=base.train.__class__(
+            batch_size=512, learning_rate=1e-3, optimizer="adam",
+            num_epochs=25, lr_schedule="cosine", log_every=0, eval_every=0,
+            chain_finetune_steps=100, chain_lr=5e-4, chain_target="mle",
+            chain_val_fraction=0.15,
+        ),
+        data=base.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="readout",
+            shots_train=1500, shots_infer=8000,
+            mitigate_readout=True, mitigate_train_data=True,
+            reconstruction="mle",
+        ),
+    )
+    logs = []
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=lambda m: logs.append(str(m)))
+    assert any("MLE Born probs" in m for m in logs)
+    assert res["fidelity"] > 0.98, res["fidelity"]
+
+
 def test_chain_distillation_skipped_on_partial_bases():
     """With a shadow basis cap the canonical-chain target is undefined —
     the pipeline must skip distillation with a warning, not mis-train."""

@@ -150,3 +150,79 @@ def test_finetune_chain_heldout_step_selection(key):
     leaves_b = jax.tree_util.tree_leaves(new_state.params)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chain_distribution_basis_labels():
+    """chain_distribution(basis_labels=L) == the basis_idx path when L are
+    the canonical labels of those indices (same conditioning, the shadow
+    route's per-qubit form)."""
+    from ddqst_tpu.ops import pauli
+
+    n = 2
+    s = schedules.cosine_schedule(12)
+    labels_all = jnp.asarray(pauli.all_basis_labels(n), jnp.int32)
+
+    def fn_lab(x, t, lab):
+        tilt = jnp.sum(lab, axis=-1, keepdims=True).astype(jnp.float32) - n
+        logit1 = (2.0 * x.astype(jnp.float32) - 1.0) * 2.5 + tilt
+        return jnp.stack([-logit1, logit1], axis=-1)
+
+    def fn_idx(x, t, b):
+        return fn_lab(x, t, labels_all[b])
+
+    full = diff.chain_distribution(fn_idx, n, s, exact=False)
+    sub = diff.chain_distribution(
+        fn_lab, n, s, exact=False,
+        basis_labels=labels_all[np.asarray([7, 0, 3])],
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub), np.asarray(full)[[7, 0, 3]], atol=1e-6
+    )
+
+
+def test_finetune_chain_basis_labels(key):
+    """Shadow-form distillation: finetune_chain(basis_labels=[B,N]) with a
+    transformer denoiser descends the chain CE over exactly the sampled
+    bases (minibatched over label rows)."""
+    from ddqst_tpu import train as training
+    from ddqst_tpu.config import ModelConfig, TrainConfig
+    from ddqst_tpu.models import build_model
+
+    n, t_steps, n_bases = 3, 8, 6
+    s = schedules.cosine_schedule(t_steps)
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray(rng.integers(0, 3, (n_bases, n)), jnp.int32)
+    model = build_model(
+        ModelConfig(arch="transformer", embed_dim=16, hidden_dim=32,
+                    num_blocks=1, num_heads=2), n, t_steps,
+    )
+    bits = jnp.asarray(rng.integers(0, 2, (240, n)), jnp.int8)
+    lab_rows = jnp.repeat(labels, 40, axis=0)
+    cfg = TrainConfig(batch_size=64, learning_rate=2e-3, optimizer="adam",
+                      num_epochs=2, log_every=0, eval_every=0)
+    state, _ = training.fit(key, model, bits, lab_rows, cfg, s,
+                            log_fn=lambda *a: None)
+    target = np.zeros((n_bases, 2**n), np.float32)
+    target[:, 0] = 1.0  # all-zeros outcome in every sampled basis
+
+    def chain_ce(st):
+        def denoise(x, t, b):
+            return st.apply_fn({"params": st.params}, x, t, b)
+
+        dist = diff.chain_distribution(
+            denoise, n, s, exact=False, basis_labels=labels
+        )
+        return float(np.mean(
+            -np.sum(target * np.log(np.maximum(np.asarray(dist), 1e-12)), -1)
+        ))
+
+    before = chain_ce(state)
+    new_state, losses, info = training.finetune_chain(
+        state, target, s, n, steps=30, learning_rate=3e-3, exact=False,
+        basis_batch=2, key=jax.random.fold_in(key, 1),
+        basis_labels=labels,
+    )
+    after = chain_ce(new_state)
+    assert after < before - 0.05
+    np.testing.assert_allclose(info["train_ce_before"], before, rtol=1e-4)
+    np.testing.assert_allclose(info["train_ce_after"], after, rtol=1e-4)

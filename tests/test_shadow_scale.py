@@ -149,3 +149,35 @@ def test_shadow_branch_rejects_packed_mlp_conditioning():
     res = pipeline.run_experiment(cfg, seed=0, log_fn=logs.append)
     assert any("transformer" in str(m) for m in logs)
     assert res["samples"].shape == (4, 32, 7)
+
+
+def test_shadow_route_chain_distillation():
+    """chain_finetune_steps > 0 on the shadow route distills over the
+    sampled shadow bases (per-qubit label conditioning) with the same
+    held-out automation as the full route."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("shadow_transformer")
+    cfg = cfg.replace(
+        name="shadow_distill",
+        model=cfg.model.__class__(arch="transformer", embed_dim=16,
+                                  hidden_dim=32, num_blocks=1, num_heads=2),
+        diffusion=cfg.diffusion.__class__(num_timesteps=10, schedule="cosine",
+                                          sampler="renoise"),
+        train=cfg.train.__class__(batch_size=256, learning_rate=2e-3,
+                                  optimizer="adam", num_epochs=4,
+                                  log_every=0, eval_every=0,
+                                  chain_finetune_steps=20, chain_lr=1e-3,
+                                  chain_basis_batch=4,
+                                  chain_val_fraction=0.2),
+        data=cfg.data.__class__(num_qubits=7, state_type="ghz",
+                                noise_type="readout", shots_train=200,
+                                shots_infer=200, max_bases=8),
+    )
+    logs = []
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=lambda m: logs.append(str(m)))
+    assert any("shadow-scale chain distillation" in m for m in logs)
+    assert any("held-out best" in m for m in logs)
+    assert res["samples"].shape == (8, 200, 7)
+    assert 0.0 <= res["mean_tv_to_target"] <= 1.0
