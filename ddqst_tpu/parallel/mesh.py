@@ -134,7 +134,11 @@ _TP_RULES = (
 def transformer_param_shardings(mesh: Mesh, params):
     """NamedSharding tree for transformer params: TP over 'model'.
 
-    Non-matching params (embeddings, norms, FiLM, head) replicate.
+    Non-matching params (embeddings, norms, FiLM, head) replicate. Works on
+    any pytree whose leaf paths end with the kernel names — the params tree
+    itself, and equally Adam's ``mu``/``nu`` moment trees inside a
+    TrainState (they mirror the param structure), so a whole train state
+    can be placed with one call.
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
@@ -145,11 +149,26 @@ def transformer_param_shardings(mesh: Mesh, params):
         )
         spec = P()
         for suffix, builder in _TP_RULES:
-            if name.endswith(suffix):
+            if name.endswith(suffix) and leaf.ndim >= 1:
                 spec = builder(leaf.ndim)
                 break
         out.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState for the mesh: TP param/moment shardings when the
+    'model' axis is nontrivial, replication otherwise.
+
+    The TP specs are matched by path suffix across the WHOLE state tree, so
+    Adam's ``mu``/``nu`` (which mirror the param tree) land on the same
+    devices as their params — the optimizer update then needs no resharding
+    and XLA keeps it fully local per model shard.
+    """
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return replicate(mesh, state)
+    shardings = transformer_param_shardings(mesh, state)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
 
 
 def shard_params(mesh: Mesh, params, shardings=None):

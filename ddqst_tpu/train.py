@@ -425,8 +425,13 @@ def fit(
 ):
     """Full training run. Returns (state, per-epoch mean losses).
 
-    If ``mesh`` is given, the dataset is sharded over its ``data`` axis and
-    params are replicated — XLA inserts the gradient all-reduce.
+    If ``mesh`` is given, the dataset is sharded over its ``data`` axis;
+    params are replicated (pure DP) unless the mesh has a nontrivial
+    'model' axis, in which case the transformer TP rules
+    (:func:`ddqst_tpu.parallel.mesh.transformer_param_shardings`) shard
+    the attention/MLP kernels and their Adam moments over it — XLA inserts
+    the gradient all-reduce over 'data' and the per-sublayer activation
+    all-reduces over 'model' from the shardings alone.
     """
     k_init, k_train = jax.random.split(key)
     steps_per_epoch = max(bits.shape[0] // cfg.batch_size, 1)
@@ -438,11 +443,13 @@ def fit(
     basis = jnp.asarray(basis, dtype=jnp.int32)
     batch_sharding = None
     if mesh is not None:
-        from ddqst_tpu.parallel.mesh import data_sharding, replicate
+        from ddqst_tpu.parallel.mesh import (
+            data_sharding, replicate, shard_state,
+        )
 
         bits = replicate(mesh, bits)
         basis = replicate(mesh, basis)
-        state = replicate(mesh, state)
+        state = shard_state(mesh, state)
         batch_sharding = data_sharding(mesh, 2)
 
     start_epoch = 0

@@ -80,6 +80,50 @@ def test_tensor_parallel_transformer_matches_replicated(key):
     )
 
 
+def test_tensor_parallel_training_experiment_scale(key):
+    """TP TRAINING at the N=10 experiment widths (shadow_transformer's
+    embed 256 / hidden 1024 / 8 heads — the '3x model' of RESULTS.md's
+    capacity study, depth cut to 2 blocks for CPU time): `fit` over a
+    4x2 mesh with a nontrivial 'model' axis must (a) keep the attention/
+    MLP kernels and their Adam moments sharded over 'model' end to end,
+    and (b) produce the same losses as single-device training."""
+    n = 10
+    model = build_model(
+        ModelConfig(arch="transformer", input_encoding="token",
+                    embed_dim=256, hidden_dim=1024, num_blocks=2,
+                    num_heads=8), n, 8,
+    )
+    sched = schedules.cosine_schedule(8)
+    cfg = TrainConfig(batch_size=64, num_epochs=2, optimizer="adam",
+                      log_every=0, eval_every=0)
+    rng = np.random.default_rng(1)
+    bits = jnp.asarray(rng.integers(0, 2, (256, n)), jnp.int8)
+    basis = jnp.asarray(rng.integers(0, 3, (256, n)), jnp.int32)
+
+    state_single, losses_single = training.fit(
+        key, model, bits, basis, cfg, sched, log_fn=lambda *a: None
+    )
+    mesh = pm.make_mesh(data=4, model=2)
+    state_tp, losses_tp = training.fit(
+        key, model, bits, basis, cfg, sched, mesh=mesh,
+        log_fn=lambda *a: None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_single), np.asarray(losses_tp),
+        rtol=2e-4, atol=2e-5,
+    )
+    # Params AND Adam moments must still be model-sharded after the run.
+    def sharded_leaves(tree):
+        return [
+            leaf for _, leaf in jax.tree_util.tree_leaves_with_path(tree)
+            if hasattr(leaf, "sharding")
+            and "model" in str(leaf.sharding.spec)
+        ]
+
+    assert len(sharded_leaves(state_tp.params)) >= 7 * 2  # 7 rules x blocks
+    assert len(sharded_leaves(state_tp.opt_state)) >= 7 * 2 * 2  # mu + nu
+
+
 def test_sharded_sampling(key):
     """p_sample over a batch sharded across the data axis."""
     mesh = pm.make_mesh(data=8, model=1)
