@@ -125,6 +125,33 @@ def _confuse_probs(p: jnp.ndarray, m2: jnp.ndarray, n: int) -> jnp.ndarray:
     return p
 
 
+def _auto_iters_per_call(num_qubits: int, num_rows: int, iterations: int) -> int:
+    """Iterations per device dispatch, bounded so one dispatch stays well
+    under the TPU relay's multi-minute crash horizon (CLAUDE.md "single
+    device programs running >~2-4 min crash the worker" — observed live at
+    N=7, where the full 4000-iteration while_loop is one multi-minute
+    program). Per-iteration work scales as B·N·d², so the cap shrinks with
+    system size; at reference scales (N≤5) the whole run stays one
+    dispatch, preserving the round-2 behaviour.
+    """
+    d = 2**num_qubits
+    cost = max(1, num_rows * num_qubits * d * d)
+    return max(50, min(iterations, (1 << 31) // cost))
+
+
+def _run_chunked(step, rho0: CArray, f, iterations: int, tol: float) -> CArray:
+    """Drive the jitted while_loop chunk to convergence from the host.
+
+    Each call materialises (i, delta) — one sync per dispatch — so no
+    single device program exceeds the chunk bound.
+    """
+    i, delta, rho = 0, float("inf"), rho0
+    while i < iterations and delta > tol:
+        i_arr, rho, delta_arr = step(jnp.int32(i), rho, f)
+        i, delta = int(i_arr), float(delta_arr)
+    return rho
+
+
 def make_mle(
     num_qubits: int,
     basis_labels: np.ndarray | None = None,
@@ -133,6 +160,7 @@ def make_mle(
     epsilon: float = 0.25,
     tol: float = 3e-7,
     impl: str = "auto",
+    iters_per_call: int = 0,
 ):
     """Build a jitted MLE reconstructor for a fixed basis set.
 
@@ -167,14 +195,24 @@ def make_mle(
       MXU-shaped einsums. The readout confusion matrix (also a tensor
       product) folds in as p ↦ M p and w ↦ Mᵀ w per basis.
     - ``'auto'``: 'factored' for num_qubits ≥ 5, else 'dense'.
+
+    ``iters_per_call`` bounds the iterations per device dispatch
+    (0 = auto, scaled by B·N·d² — see :func:`_auto_iters_per_call`); the
+    host drives chunks to convergence, so large-N reconstructions never
+    submit one multi-minute device program.
     """
     if basis_labels is None:
         basis_labels = all_basis_labels(num_qubits)
     if impl == "auto":
         impl = "factored" if num_qubits >= 5 else "dense"
+    if iters_per_call <= 0:
+        iters_per_call = _auto_iters_per_call(
+            num_qubits, basis_labels.shape[0], iterations
+        )
     if impl == "factored":
         return _make_mle_factored(
-            num_qubits, basis_labels, readout_p, iterations, epsilon, tol
+            num_qubits, basis_labels, readout_p, iterations, epsilon, tol,
+            iters_per_call,
         )
     d = 2**num_qubits
     num_rows = basis_labels.shape[0]
@@ -183,16 +221,12 @@ def make_mle(
 
     @f32_matmul
     @jax.jit
-    def reconstruct(counts: jnp.ndarray) -> CArray:
-        freqs = counts / jnp.maximum(
-            jnp.sum(counts, axis=-1, keepdims=True), 1.0
-        )
-        f = freqs.reshape(-1).astype(jnp.float32)  # [B*d], sums to B
-        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
-
+    def step(i0, rho_in: CArray, f) -> tuple:
         def cond(carry):
             i, _, delta = carry
-            return (i < iterations) & (delta > tol)
+            return (
+                (i < i0 + iters_per_call) & (i < iterations) & (delta > tol)
+            )
 
         def body(carry):
             i, rho, _ = carry
@@ -220,10 +254,17 @@ def make_mle(
             )
             return i + 1, nxt, delta
 
-        _, rho, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), rho0, jnp.float32(jnp.inf))
+        return jax.lax.while_loop(
+            cond, body, (i0, rho_in, jnp.float32(jnp.inf))
         )
-        return rho
+
+    def reconstruct(counts: jnp.ndarray) -> CArray:
+        freqs = counts / jnp.maximum(
+            jnp.sum(counts, axis=-1, keepdims=True), 1.0
+        )
+        f = freqs.reshape(-1).astype(jnp.float32)  # [B*d], sums to B
+        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
+        return _run_chunked(step, rho0, f, iterations, tol)
 
     return reconstruct
 
@@ -235,6 +276,7 @@ def _make_mle_factored(
     iterations: int,
     epsilon: float,
     tol: float,
+    iters_per_call: int,
 ):
     """Tensor-product MLE (see :func:`make_mle` ``impl='factored'``).
 
@@ -265,16 +307,12 @@ def _make_mle_factored(
 
     @f32_matmul
     @jax.jit
-    def reconstruct(counts: jnp.ndarray) -> CArray:
-        freqs = counts / jnp.maximum(
-            jnp.sum(counts, axis=-1, keepdims=True), 1.0
-        )
-        f = freqs.astype(jnp.float32)  # [B, d], rows sum to 1
-        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
-
+    def step(i0, rho_in: CArray, f) -> tuple:
         def cond(carry):
             i, _, delta = carry
-            return (i < iterations) & (delta > tol)
+            return (
+                (i < i0 + iters_per_call) & (i < iterations) & (delta > tol)
+            )
 
         def body(carry):
             i, rho, _ = carry
@@ -315,9 +353,16 @@ def _make_mle_factored(
             )
             return i + 1, nxt, delta
 
-        _, rho, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), rho0, jnp.float32(jnp.inf))
+        return jax.lax.while_loop(
+            cond, body, (i0, rho_in, jnp.float32(jnp.inf))
         )
-        return rho
+
+    def reconstruct(counts: jnp.ndarray) -> CArray:
+        freqs = counts / jnp.maximum(
+            jnp.sum(counts, axis=-1, keepdims=True), 1.0
+        )
+        f = freqs.astype(jnp.float32)  # [B, d], rows sum to 1
+        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
+        return _run_chunked(step, rho0, f, iterations, tol)
 
     return reconstruct

@@ -169,6 +169,18 @@ def experiments():
         shots_infer=10000, noise="readout",
     ), basis_batch=96, epochs=150),
         "GHZ-6, automated distillation recipe (96-basis minibatch)")
+    # --- RQC at N>3: generic-state scaling (the GHZ rows above have
+    # structure a model can exploit; a random circuit's state is the
+    # harder, generic case — reference protocol never leaves N=3,
+    # multi_qubit_any_state/main.py:150-177).
+    yield ("rqc4_auto", auto_recipe(quality_cfg(
+        "rqc4_auto", num_qubits=4, state="rqc", shots_train=5000,
+        shots_infer=30000, noise="readout",
+    )), "RQC-4 (depth 5): 81 bases, automated recipe")
+    yield ("rqc5_auto", auto_recipe(quality_cfg(
+        "rqc5_auto", num_qubits=5, state="rqc", shots_train=5000,
+        shots_infer=20000, noise="readout",
+    )), "RQC-5 (depth 5): 243 bases, automated recipe")
     # --- GHZ-7: 2187 bases, full density-matrix reconstruction -----------
     # 2.33x the reference's max system size. Feasible only because nothing
     # on the path materialises 4^N·d² or per-shot 2^N intermediates:
