@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def auto_recipe(cfg, *, basis_batch: int = 0, steps_per_call: int = 25,
                 epochs: int | None = None, target: str = "counts",
-                val_patience: int = 4):
+                val_patience: int = 4, val_fraction: float = 0.15,
+                steps: int = 800):
     """THE automated distillation recipe (one config across N).
 
     Generous step budget at a hot learning rate; the held-out step
@@ -43,8 +44,8 @@ def auto_recipe(cfg, *, basis_batch: int = 0, steps_per_call: int = 25,
         batch_size=1024, learning_rate=1e-3, optimizer="adam",
         num_epochs=tr.num_epochs if epochs is None else epochs,
         lr_schedule="cosine", log_every=0, eval_every=0,
-        chain_finetune_steps=800, chain_lr=1e-3,
-        chain_val_fraction=0.15, chain_val_patience=val_patience,
+        chain_finetune_steps=steps, chain_lr=1e-3,
+        chain_val_fraction=val_fraction, chain_val_patience=val_patience,
         chain_basis_batch=basis_batch, chain_steps_per_call=steps_per_call,
         chain_target=target,
     ))
@@ -207,6 +208,20 @@ def experiments():
     ), basis_batch=128, epochs=60, steps_per_call=10, target="mle",
         val_patience=12),
         "GHZ-7: MLE-projected distillation target, 60 CE epochs")
+    # ghz7_mle also scored 0.483: the held-out stop fired at step 0 — at
+    # 128/2187 bases per step the val signal per 10-step eval is below the
+    # 1e-5 threshold (a CPU diagnostic confirms the chain CE itself
+    # descends fine at N=7). With the MLE-projected target the
+    # bias-variance adjudication already happened in the projection
+    # (the target is the physics-constrained estimate, not noisy counts),
+    # so v3 drops the held-out stop and runs a fixed hot budget — the
+    # N=6 recipe that took 0.49 -> 0.978, scaled to N=7 coverage.
+    yield ("ghz7_mle_hot", auto_recipe(quality_cfg(
+        "ghz7_mle_hot", num_qubits=7, state="ghz", shots_train=3000,
+        shots_infer=5000, noise="readout",
+    ), basis_batch=128, epochs=60, steps_per_call=10, target="mle",
+        val_fraction=0.0, steps=1600),
+        "GHZ-7: MLE target, fixed 1600-step hot distillation")
 
 
 def main():
