@@ -193,6 +193,7 @@ def finetune_chain(
     val_counts=None,
     val_patience: int = 4,
     basis_labels=None,
+    val_every_equiv: float = 2.0,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -257,6 +258,14 @@ def finetune_chain(
         candidate too, so distillation can never make things worse by
         this criterion.
       val_patience: consecutive non-improving held-out evals before stop.
+      val_every_equiv: held-out evals are spaced by this many FULL-GRID
+        EQUIVALENT steps (minibatched steps count as basis_batch/B of an
+        equivalent), not by dispatch chunks. Without this scaling, a
+        small-coverage minibatch run (e.g. 128 of 2187 bases at N=7)
+        moves the held-out CE less than the improvement threshold per
+        chunk and the stop fires at step 0 — measured live at GHZ-7,
+        where per-chunk evals stopped a perfectly-descending chain at
+        step 0 twice.
       basis_labels: optional ``[B, N]`` per-qubit basis labels (the shadow
         route's conditioning form). When given, the chain is distilled
         over exactly those B sampled bases instead of the canonical 3^N
@@ -382,6 +391,8 @@ def finetune_chain(
         best_ce = full_grid_ce(params, val)
         best_step = 0
         val_history.append((0, best_ce))
+    equiv_per_step = (basis_batch / num_bases) if minibatched else 1.0
+    since_eval = 0.0
     while done < steps:
         length = min(steps_per_call, steps - done)
         params, opt_state, losses = run_chunk(
@@ -389,7 +400,11 @@ def finetune_chain(
         )
         all_losses.append(losses)
         done += length
-        if val is not None:
+        since_eval += length * equiv_per_step
+        if val is not None and (
+            since_eval >= val_every_equiv or done >= steps
+        ):
+            since_eval = 0.0
             ce = full_grid_ce(params, val)
             val_history.append((done, ce))
             if ce < best_ce - 1e-5:
