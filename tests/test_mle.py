@@ -39,6 +39,25 @@ def test_mle_recovers_pure_state_exact_counts(state_fn, n):
     assert float(M.state_fidelity(psi, rho)) > 0.999
 
 
+@pytest.mark.parametrize("impl", ["dense", "factored"])
+def test_mle_chunked_dispatch_matches_single(impl):
+    """iters_per_call chunking (the relay-safe bounded-dispatch driver)
+    must reach the same fixed point as one uninterrupted while_loop —
+    the chunk boundary carries (i, rho, delta) exactly."""
+    psi = states.ghz_state(3)
+    counts = _exact_counts(psi, 3, shots=5000, readout_p=0.02)
+    one = mle.make_mle(3, readout_p=0.02, iterations=300, impl=impl,
+                       iters_per_call=300)(counts)
+    chunked = mle.make_mle(3, readout_p=0.02, iterations=300, impl=impl,
+                           iters_per_call=7)(counts)
+    np.testing.assert_allclose(
+        np.asarray(one.re), np.asarray(chunked.re), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.im), np.asarray(chunked.im), atol=1e-6
+    )
+
+
 def test_mle_noise_aware_beats_naive():
     """With readout noise in the counts, the confusion-aware POVM recovers
     the clean state; the naive POVM keeps the bias."""
