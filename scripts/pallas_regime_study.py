@@ -94,35 +94,25 @@ def bench():
 
             res = {
                 "scan": t_of("xla", grid_mode="off"),
-                "grid-seq": None,  # filled below (not in sample_all_bases API)
+                "grid-seq": t_of("seq"),
                 "grid-xla": t_of("xla"),
                 "grid-pallas": t_of("pallas"),
+                # The regime-aware default must match or beat the best
+                # fixed backend in every cell (VERDICT r2 item 6).
+                "auto": t_of("auto"),
             }
-
-            # grid-seq via p_sample_grid(precompute=False) directly.
-            basis = jnp.repeat(jnp.arange(bases, dtype=jnp.int32), shots)
-
-            @jax.jit
-            def run_seq(k):
-                def fn(x, t, b):
-                    return apply_fn(params, x, t, b)
-                return diff.p_sample_grid(
-                    k, fn, basis, n, sched, precompute=False)
-            out = run_seq(jax.random.key(0)); _ = float(jnp.sum(out))
-            t0 = time.perf_counter()
-            out = run_seq(jax.random.key(1)); _ = float(jnp.sum(out))
-            res["grid-seq"] = time.perf_counter() - t0
 
             line = {k: f"{chains / v / 1e6:.2f}M/s" for k, v in res.items()}
             rows.append((n, chains, line))
             print(f"N={n} chains={chains}: " + "  ".join(
                 f"{k}={v}" for k, v in line.items()), flush=True)
 
-    print("\n| N | chains | scan | grid-seq (r1) | grid-xla | grid-pallas |")
-    print("|---|---|---|---|---|---|")
+    print("\n| N | chains | scan | grid-seq (r1) | grid-xla | grid-pallas "
+          "| auto |")
+    print("|---|---|---|---|---|---|---|")
     for n, chains, line in rows:
         print(f"| {n} | {chains} | {line['scan']} | {line['grid-seq']} | "
-              f"{line['grid-xla']} | {line['grid-pallas']} |")
+              f"{line['grid-xla']} | {line['grid-pallas']} | {line['auto']} |")
 
 
 if __name__ == "__main__":

@@ -229,6 +229,14 @@ def main():
     ap.add_argument("--out", default="examples/results_scaling.jsonl")
     ap.add_argument("--only", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--probe", action="store_true",
+                    help="cache-warming pass: run the selected experiment "
+                    "with tiny step budgets but IDENTICAL program shapes "
+                    "(same model/batch/shots/steps_per_call), so a fresh "
+                    "process compiles every program class once — the "
+                    "relay worker wedges on cold compiles late in "
+                    "long-lived processes (CLAUDE.md wedge modes). "
+                    "Results are not recorded.")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
@@ -240,10 +248,25 @@ def main():
             done = {json.loads(line)["tag"] for line in f}
 
     for tag, cfg, note in experiments():
-        if (args.only and args.only != tag) or tag in done:
+        if (args.only and args.only != tag) or (tag in done and not args.probe):
             continue
+        if args.probe:
+            import dataclasses
+            tr = cfg.train
+            cfg = cfg.replace(train=dataclasses.replace(
+                tr,
+                num_epochs=1,
+                chain_finetune_steps=(
+                    min(tr.chain_finetune_steps, 2 * tr.chain_steps_per_call)
+                    if tr.chain_finetune_steps else 0
+                ),
+            ))
         t0 = time.perf_counter()
         res = pipeline.run_experiment(cfg, seed=args.seed)
+        if args.probe:
+            print(f"== probe {tag} complete "
+                  f"[{time.perf_counter() - t0:.1f}s]", flush=True)
+            continue
         rec = {
             "tag": tag,
             "num_qubits": cfg.data.num_qubits,
