@@ -324,7 +324,10 @@ def finetune_chain(
     if labels is None:
         chunk_b = 3 ** min(num_qubits, 5)
     else:  # shadow scale: bound grid rows per dispatch, not basis count
-        chunk_b = max(1, min(num_bases, 16384 // 2**num_qubits))
+        # 8192 rows (not 16384): a [16384, H] transformer chain eval at
+        # N=10 sits at the relay worker's multi-minute-program crash
+        # threshold — measured crash at the first in-loop held-out eval.
+        chunk_b = max(1, min(num_bases, 8192 // 2**num_qubits))
 
     @jax.jit
     def _grid_ce_chunk(params, tgt_chunk, bidx):
