@@ -220,7 +220,8 @@ def train_on_dataset(
 
 def _run_shadow_experiment(
     cfg: ExperimentConfig, data: GeneratedData, k_train, k_sample,
-    log_fn: Callable, mesh=None,
+    log_fn: Callable, mesh=None, params_load: str = "",
+    params_save: str = "",
 ) -> dict:
     """Large-N path: train on per-qubit basis labels, evaluate generated
     distributions against the EXACT Born probabilities of the clean target
@@ -263,12 +264,30 @@ def _run_shadow_experiment(
         mcfg = dataclasses.replace(mcfg, arch="transformer")
     schedule = make_schedule(cfg.diffusion.schedule, cfg.diffusion.num_timesteps)
     model = build_model(mcfg, n, cfg.diffusion.num_timesteps)
-    log_fn(f"[{cfg.name}] shadow-scale training on {x.shape[0]} shots "
-           f"({b_bases} bases)")
-    state, losses = training.fit(
-        k_train, model, x, labels, cfg.train, schedule, mesh=mesh,
-        log_fn=log_fn,
-    )
+    if params_load:
+        # Warm start: skip CE training, restore a previous run's params
+        # (same cfg + seed → identical data/bases, so distillation resumes
+        # exactly). Saves the ~25-min CE retrain per N=10 distillation
+        # iteration. Import after first device use (CLAUDE.md: importing
+        # orbax before device init can deadlock the axon plugin).
+        from ddqst_tpu.utils import checkpoint as ckpt
+
+        state = training.create_state(
+            jax.random.split(k_train)[0], model, cfg.train, n
+        )
+        state = state.replace(params=ckpt.restore_params(
+            params_load, state.params
+        ))
+        losses = jnp.zeros((0,), jnp.float32)
+        log_fn(f"[{cfg.name}] warm start: params from {params_load} "
+               "(CE training skipped)")
+    else:
+        log_fn(f"[{cfg.name}] shadow-scale training on {x.shape[0]} shots "
+               f"({b_bases} bases)")
+        state, losses = training.fit(
+            k_train, model, x, labels, cfg.train, schedule, mesh=mesh,
+            log_fn=log_fn,
+        )
     if cfg.train.chain_finetune_steps > 0:
         # Shadow-scale exact-chain distillation: the 2^N-state chain is
         # tractable through N≈10 even though the 3^N basis enumeration is
@@ -314,6 +333,11 @@ def _run_shadow_experiment(
                 f"{cfg.train.chain_finetune_steps})"
             )
         log_fn(msg)
+    if params_save:
+        from ddqst_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_params(params_save, state.params)
+        log_fn(f"[{cfg.name}] saved params to {params_save}")
     shots_gen = max(cfg.data.shots_infer, 1)
     samples = diff.sample_for_bases(
         k_sample, state.apply_fn, {"params": state.params},
@@ -378,12 +402,18 @@ def run_experiment(
     seed: int = 0,
     mesh=None,
     log_fn: Callable = print,
+    params_load: str = "",
+    params_save: str = "",
 ) -> dict:
     """Full reference-parity run. Returns a metrics dict.
 
     Keys: fidelity, purity, vn_entropy, ent_entropy, raw_fidelity (linear
     inversion on the raw training shots — the reference's baseline check),
     z_bias, losses, rho, rho_raw, target.
+
+    ``params_load``/``params_save`` (shadow route only): orbax params
+    snapshot paths for warm-starting distillation iterations without the
+    CE retrain (the same cfg + seed regenerates identical data/bases).
     """
     key = jax.random.key(seed)
     rng = np.random.default_rng(seed)
@@ -404,8 +434,12 @@ def run_experiment(
         # the reference reconstructs only at N ≤ 3. Beyond N=7 (or under a
         # shadow basis cap) the full 3^N enumeration is the binding cost.
         return _run_shadow_experiment(
-            cfg, data, k_train, k_sample, log_fn, mesh=mesh
+            cfg, data, k_train, k_sample, log_fn, mesh=mesh,
+            params_load=params_load, params_save=params_save,
         )
+    if params_load or params_save:
+        log_fn(f"[{cfg.name}] WARNING: params_load/params_save are shadow-"
+               "route options; ignored on the full-reconstruction route")
     x, basis = flatten_for_training(data.bits, data.basis_idx)
 
     schedule = make_schedule(cfg.diffusion.schedule, cfg.diffusion.num_timesteps)

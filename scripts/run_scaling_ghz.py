@@ -184,6 +184,14 @@ def experiments():
         "rqc5_auto", num_qubits=5, state="rqc", shots_train=5000,
         shots_infer=20000, noise="readout",
     )), "RQC-5 (depth 5): 243 bases, automated recipe")
+    # RQC-6: the generic-state ladder at 2x the reference's max N (the
+    # GHZ-6 row has structure a model can exploit; this is the hard case).
+    # Same memory bounds as ghz6_auto: 96-basis minibatches, 150 CE epochs.
+    yield ("rqc6_auto", auto_recipe(quality_cfg(
+        "rqc6_auto", num_qubits=6, state="rqc", shots_train=5000,
+        shots_infer=10000, noise="readout",
+    ), basis_batch=96, epochs=150),
+        "RQC-6 (depth 5): 729 bases, automated recipe")
     # --- GHZ-7: 2187 bases, full density-matrix reconstruction -----------
     # 2.33x the reference's max system size. Feasible only because nothing
     # on the path materialises 4^N·d² or per-shot 2^N intermediates:

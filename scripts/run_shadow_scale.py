@@ -57,6 +57,12 @@ def main():
                          "selection (0 = run all steps)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="examples/results_shadow.jsonl")
+    ap.add_argument("--params_save", default="",
+                    help="orbax path to save post-distillation params")
+    ap.add_argument("--params_load", default="",
+                    help="orbax path to warm-start from (skips CE "
+                         "training; use the same seed/data flags as the "
+                         "run that saved them)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
@@ -94,7 +100,10 @@ def main():
         ),
     )
     t0 = time.perf_counter()
-    res = pipeline.run_experiment(cfg, seed=args.seed)
+    res = pipeline.run_experiment(
+        cfg, seed=args.seed,
+        params_load=args.params_load, params_save=args.params_save,
+    )
     rec = {
         "tag": args.tag,
         "epochs": args.epochs,
