@@ -99,6 +99,11 @@ class TrainConfig:
     # worker dies on single programs running >~2-4 min; lower for
     # expensive per-step models like the transformer).
     chain_steps_per_call: int = 25
+    # Salt folded into the distillation PRNG key. The per-chunk key is
+    # positional (fold_in(k0, step)), so a warm-started continuation run
+    # (pipeline params_load) would replay run 1's basis-minibatch stream;
+    # set a different salt per continuation to draw fresh minibatches.
+    chain_key_salt: int = 0
     num_epochs: int = 300
     seed: int = 0
     eval_every: int = 5  # epochs between val-loss reports (phase 4: 5)

@@ -315,7 +315,7 @@ def _run_shadow_experiment(
             learning_rate=cfg.train.chain_lr,
             exact=cfg.diffusion.exact,
             basis_batch=cfg.train.chain_basis_batch,
-            key=jax.random.fold_in(k_train, 0xD157),
+            key=jax.random.fold_in(k_train, 0xD157 + cfg.train.chain_key_salt),
             steps_per_call=cfg.train.chain_steps_per_call,
             val_counts=val_counts,
             val_patience=cfg.train.chain_val_patience,
@@ -512,7 +512,7 @@ def run_experiment(
                 learning_rate=cfg.train.chain_lr,
                 exact=cfg.diffusion.exact,
                 basis_batch=cfg.train.chain_basis_batch,
-                key=jax.random.fold_in(k_train, 0xD157),
+                key=jax.random.fold_in(k_train, 0xD157 + cfg.train.chain_key_salt),
                 steps_per_call=cfg.train.chain_steps_per_call,
                 val_counts=val_counts,
                 val_patience=cfg.train.chain_val_patience,

@@ -118,6 +118,7 @@ def _run_epoch(
     inserted by XLA — the canonical jit-DP pattern.
     """
     m = bits.shape[0]
+    batch_size = min(batch_size, m)  # datasets smaller than one batch
     steps = max(m // batch_size, 1)
     usable = steps * batch_size
     kp, ks = jax.random.split(epoch_key)
@@ -159,6 +160,7 @@ def eval_loss(
     """Mean denoising CE over an eval set (no grad) — reference validation
     monitor (``RQC.../main.py:117-129``)."""
     m = bits.shape[0]
+    batch_size = min(batch_size, m)  # datasets smaller than one batch
     steps = max(m // batch_size, 1)
     usable = steps * batch_size
     bi = bits[:usable].reshape(steps, batch_size, -1)

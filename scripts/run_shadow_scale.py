@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--distill_val", type=float, default=0.15,
                     help="held-out shot fraction for automated step "
                          "selection (0 = run all steps)")
+    ap.add_argument("--distill_salt", type=int, default=0,
+                    help="distillation PRNG salt — set a fresh value on "
+                         "each warm-started continuation so basis "
+                         "minibatches are not replayed")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="examples/results_shadow.jsonl")
     ap.add_argument("--params_save", default="",
@@ -90,6 +94,7 @@ def main():
             chain_basis_batch=args.distill_basis_batch,
             chain_steps_per_call=args.distill_steps_per_call,
             chain_val_fraction=args.distill_val,
+            chain_key_salt=args.distill_salt,
         ),
         data=base.data.__class__(
             num_qubits=10, state_type="rqc", noise_type="readout",
