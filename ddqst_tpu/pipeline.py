@@ -246,6 +246,7 @@ def _run_shadow_experiment(
     from ddqst_tpu.ops.mle import bits_to_counts
 
     n = cfg.data.num_qubits
+    ft_info = None
     b_bases, s, _ = data.bits.shape
     x = data.bits.reshape(b_bases * s, n)
     labels = jnp.repeat(
@@ -386,6 +387,12 @@ def _run_shadow_experiment(
         "state": state,
         "samples": samples,
     }
+    if ft_info is not None:
+        # Distillation trajectory (train/held-out chain CE + selected
+        # step): the saturation-curve evidence for scaling studies.
+        results["chain_info"] = {
+            k: v for k, v in ft_info.items()
+        }
     log_fn(
         f"[{cfg.name}] shadow-scale vs exact Born probs: "
         f"TV {results['mean_tv_to_target']:.4f} "

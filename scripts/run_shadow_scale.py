@@ -129,6 +129,15 @@ def main():
         "z_bias": res["z_bias"],
         "wall_s": round(time.perf_counter() - t0, 1),
     }
+    if "chain_info" in res:
+        ci = res["chain_info"]
+        rec["chain_ce_before"] = round(float(ci["train_ce_before"]), 5)
+        rec["chain_ce_after"] = round(float(ci["train_ce_after"]), 5)
+        if "val_history" in ci:
+            rec["chain_best_step"] = int(ci["best_step"])
+            rec["chain_val_history"] = [
+                [int(s), round(float(c), 5)] for s, c in ci["val_history"]
+            ]
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
