@@ -46,6 +46,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--schedule", choices=["linear", "cosine"])
     p.add_argument("--sampler", choices=["auto", "exact", "renoise"])
     p.add_argument("--infer_mode", choices=["generate", "denoise"])
+    p.add_argument("--gen_tables_once", action="store_true", default=None,
+                   help="amortised generation: grid tables once in bounded "
+                        "dispatches, pure table walks per chunk (N>=7)")
     # Model
     p.add_argument("--arch", choices=["film_mlp", "plain_mlp", "transformer"])
     p.add_argument("--input_encoding", choices=["float", "token"])

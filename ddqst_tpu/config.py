@@ -42,6 +42,14 @@ class DiffusionConfig:
     # timestep matched to the readout flip rate — explicit readout-channel
     # inversion (see ops.diffusion.p_denoise).
     infer_mode: str = "generate"  # 'generate' | 'denoise'
+    # Amortised generation: precompute the [T, 6^N] grid tables ONCE (in
+    # bounded dispatches) and make every shot-chunk a pure table walk
+    # (ops.diffusion.sample_all_bases_chunked). Opt-in: same distribution
+    # as the default path but a different program/RNG stream, and only a
+    # win when generation is chunked (N>=7, where the per-chunk table
+    # precompute dominates; REQUIRED at N=8 where the fused precompute is
+    # a single ~10-minute device program — over the relay crash horizon).
+    gen_tables_once: bool = False
 
     def __post_init__(self):
         if self.schedule != "cosine" and self.sampler == "exact":

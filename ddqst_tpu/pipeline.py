@@ -586,24 +586,38 @@ def run_experiment(
         # this environment's TPU worker wedges/crashes on, and chunking
         # is free (the per-chunk program is identical and cached).
         num_bases = 3**cfg.data.num_qubits
-        cap = max(1, _GEN_CHAIN_CAP // num_bases)
-        n_calls = -(-cfg.data.shots_infer // cap)
-        per_call = -(-cfg.data.shots_infer // n_calls)  # equal-size chunks:
-        chunks = [  # one compile, reused for every dispatch
-            diff.sample_all_bases(
-                # Single-chunk runs consume k_sample directly so seeds
-                # reproduce pre-chunking recorded results bit-for-bit.
-                k_sample if n_calls == 1 else jax.random.fold_in(k_sample, c),
-                state.apply_fn,
-                {"params": state.params}, cfg.data.num_qubits, per_call,
-                schedule, exact=cfg.diffusion.exact,
+        if cfg.diffusion.gen_tables_once:
+            # Amortised grid path: tables once (bounded dispatches), then
+            # pure table walks — the default path below repeats the table
+            # precompute inside every chunk, the dominant cost at N>=7
+            # and a single over-horizon dispatch at N=8.
+            samples = diff.sample_all_bases_chunked(
+                k_sample, state.apply_fn, {"params": state.params},
+                cfg.data.num_qubits, cfg.data.shots_infer, schedule,
+                exact=cfg.diffusion.exact, max_chains=_GEN_CHAIN_CAP,
             )
-            for c in range(n_calls)
-        ]
-        samples = (
-            chunks[0] if n_calls == 1
-            else jnp.concatenate(chunks, axis=1)[:, : cfg.data.shots_infer]
-        )
+        else:
+            cap = max(1, _GEN_CHAIN_CAP // num_bases)
+            n_calls = -(-cfg.data.shots_infer // cap)
+            per_call = -(-cfg.data.shots_infer // n_calls)  # equal chunks:
+            chunks = [  # one compile, reused for every dispatch
+                diff.sample_all_bases(
+                    # Single-chunk runs consume k_sample directly so seeds
+                    # reproduce pre-chunking recorded results bit-for-bit.
+                    k_sample if n_calls == 1
+                    else jax.random.fold_in(k_sample, c),
+                    state.apply_fn,
+                    {"params": state.params}, cfg.data.num_qubits, per_call,
+                    schedule, exact=cfg.diffusion.exact,
+                )
+                for c in range(n_calls)
+            ]
+            samples = (
+                chunks[0] if n_calls == 1
+                else jnp.concatenate(chunks, axis=1)[
+                    :, : cfg.data.shots_infer
+                ]
+            )
 
     mit_p = 0.0
     if cfg.data.mitigate_readout:

@@ -230,6 +230,21 @@ def experiments():
     ), basis_batch=128, epochs=60, steps_per_call=10, target="mle",
         val_fraction=0.0, steps=1600),
         "GHZ-7: MLE target, fixed 1600-step hot distillation")
+    # --- RQC-7: the generic-state ladder at the N=7 frontier -------------
+    # Same v3 recipe GHZ-7 validated: at 2187-basis coverage the held-out
+    # stop's per-eval signal is below threshold (128-basis minibatches),
+    # and with the MLE-projected target the bias-variance adjudication is
+    # already in the projection, so the fixed hot budget is safe — it
+    # distills toward the physics-constrained estimate, not noisy counts
+    # (the failure mode of hot+counts at N=5 does not apply). Program
+    # shapes identical to ghz7_mle_hot (only the data differs), so the
+    # relay worker's compiled-program cache is reused as-is.
+    yield ("rqc7_mle_hot", auto_recipe(quality_cfg(
+        "rqc7_mle_hot", num_qubits=7, state="rqc", shots_train=3000,
+        shots_infer=5000, noise="readout",
+    ), basis_batch=128, epochs=60, steps_per_call=10, target="mle",
+        val_fraction=0.0, steps=1600),
+        "RQC-7 (depth 5): 2187 bases, MLE target, fixed hot distillation")
 
 
 def main():

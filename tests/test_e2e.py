@@ -202,3 +202,28 @@ def test_generation_chunking_matches_single_dispatch(monkeypatch):
     # Chunks drawn with distinct fold_in keys: the first and second 40-shot
     # blocks of a basis must not be identical (p ~ 2^-80 if independent).
     assert not np.array_equal(s[:, :40], s[:, 40:80])
+
+
+def test_gen_tables_once_pipeline():
+    """gen_tables_once=True routes generation through the amortised
+    tables-once path and produces a valid reconstruction."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("rqc")
+    cfg = cfg.replace(
+        name="tables_once",
+        diffusion=cfg.diffusion.__class__(num_timesteps=6, schedule="cosine",
+                                          sampler="renoise",
+                                          gen_tables_once=True),
+        train=cfg.train.__class__(batch_size=256, learning_rate=2e-3,
+                                  optimizer="adam", num_epochs=2,
+                                  log_every=0, eval_every=0),
+        data=cfg.data.__class__(num_qubits=2, state_type="bell",
+                                noise_type="ideal", shots_train=100,
+                                shots_infer=90),
+    )
+    res = pipeline.run_experiment(cfg, seed=0, log_fn=lambda *a: None)
+    s = np.asarray(res["samples"])
+    assert s.shape == (9, 90, 2)
+    assert 0.0 <= res["fidelity"] <= 1.0

@@ -226,3 +226,40 @@ def test_finetune_chain_basis_labels(key):
     assert after < before - 0.05
     np.testing.assert_allclose(info["train_ce_before"], before, rtol=1e-4)
     np.testing.assert_allclose(info["train_ce_after"], after, rtol=1e-4)
+
+
+def test_sample_all_bases_chunked_tables_and_distribution(key):
+    """Amortised generation (sample_all_bases_chunked): the bounded-dispatch
+    table chunks reproduce grid_p1_tables, and the chunked table walk's
+    empirical distribution matches the exact chain distribution."""
+    n = 2
+    t_steps = 11  # not a multiple of the chunk size -> exercises padding
+    s = schedules.cosine_schedule(t_steps)
+    fn = _denoiser(n)
+
+    def denoise(x, t, b):
+        return fn({}, x, t, b)
+
+    ref = diff.grid_p1_tables(denoise, n, s, exact=False)
+    m = 4
+    n_chunks = 3
+    ts = jnp.arange(t_steps, 0, -1)
+    ts_pad = jnp.concatenate([ts, jnp.ones((n_chunks * m - t_steps,), ts.dtype)])
+    parts = [
+        diff._table_chunk(fn, {}, ts_pad[i * m : (i + 1) * m], s, n, False, m)
+        for i in range(n_chunks)
+    ]
+    got = jnp.concatenate(parts, axis=0)[:t_steps]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # max_chains below bases*shots forces the multi-walk path (3 calls).
+    shots = 4200
+    samples = diff.sample_all_bases_chunked(
+        key, fn, {}, n, shots, s, exact=False, max_chains=9 * 1500
+    )
+    assert samples.shape == (9, shots, n)
+    dist = diff.chain_distribution(denoise, n, s, exact=False)
+    idx = np.asarray(samples[..., 0] + 2 * samples[..., 1])
+    for b in range(9):
+        emp = np.bincount(idx[b], minlength=4) / shots
+        np.testing.assert_allclose(emp, np.asarray(dist[b]), atol=0.04)
