@@ -245,6 +245,24 @@ def experiments():
     ), basis_batch=128, epochs=60, steps_per_call=10, target="mle",
         val_fraction=0.0, steps=1600),
         "RQC-7 (depth 5): 2187 bases, MLE target, fixed hot distillation")
+    # --- GHZ-8: 6561 bases, d=256, 4^8 = 65,536 Pauli coefficients -------
+    # 2.67x the reference's max system size. New requirements at this
+    # scale, all in the framework: amortised generation (gen_tables_once —
+    # the fused per-chunk table precompute would be ONE ~10-minute device
+    # program, over the relay crash horizon; amortised, it is ~50 bounded
+    # dispatches computed once), basis_batch=64 keeps the distillation
+    # grid at 64x256 = 16,384 rows/step (the N=7-proven dispatch size),
+    # shots_train=2000 bounds the CE epoch at 13.1M rows.
+    cfg8 = auto_recipe(quality_cfg(
+        "ghz8_mle_hot", num_qubits=8, state="ghz", shots_train=2000,
+        shots_infer=3000, noise="readout",
+    ), basis_batch=64, epochs=40, steps_per_call=10, target="mle",
+        val_fraction=0.0, steps=1600)
+    cfg8 = cfg8.replace(diffusion=cfg8.diffusion.__class__(
+        num_timesteps=100, schedule="cosine", sampler="renoise",
+        gen_tables_once=True))
+    yield ("ghz8_mle_hot", cfg8,
+           "GHZ-8: 6561 bases, MLE target, amortised generation (frontier)")
 
 
 def main():

@@ -67,14 +67,26 @@ def main():
     per_call = -(-cfg.data.shots_infer // n_calls)
 
     # 1. One generation chunk — the program the real run dispatches
-    #    n_calls times (identical per chunk).
+    #    n_calls times (identical per chunk). gen_tables_once configs use
+    #    the amortised path instead (bounded table dispatches + walks);
+    #    warming it at the real shots warms both program classes.
     t0 = time.perf_counter()
-    chunk = diff.sample_all_bases(
-        jax.random.key(1), apply_fn, variables, n, per_call, schedule,
-        exact=cfg.diffusion.exact,
-    )
-    _ = float(jnp.sum(chunk))
-    mark(f"generation chunk [{num_bases}x{per_call}] (1 of {n_calls})", t0)
+    if cfg.diffusion.gen_tables_once:
+        chunk = diff.sample_all_bases_chunked(
+            jax.random.key(1), apply_fn, variables, n,
+            cfg.data.shots_infer, schedule, exact=cfg.diffusion.exact,
+            max_chains=pipeline._GEN_CHAIN_CAP,
+        )
+        _ = float(jnp.sum(chunk))
+        mark(f"amortised generation [{num_bases}x{cfg.data.shots_infer}]", t0)
+        n_calls, per_call = 1, cfg.data.shots_infer
+    else:
+        chunk = diff.sample_all_bases(
+            jax.random.key(1), apply_fn, variables, n, per_call, schedule,
+            exact=cfg.diffusion.exact,
+        )
+        _ = float(jnp.sum(chunk))
+        mark(f"generation chunk [{num_bases}x{per_call}] (1 of {n_calls})", t0)
 
     # 2. Histogram of the full concatenated sample block.
     t0 = time.perf_counter()
