@@ -385,6 +385,99 @@ def _grid_enum(num_qubits: int, num_circuits: int = 0):
     return grid_x, grid_basis_1d
 
 
+_ROW_BUDGET = 1 << 17  # rows per model forward: already saturates the MXU
+# and bounds the [rows, hidden] activation block to ~0.25 GB at hidden 512.
+
+
+def _p1_rows_one_t(
+    denoise_fn, t, grid_x, grid_basis, schedule, exact, row_budget: int
+):
+    """Table rows for ONE timestep with every forward <= ``row_budget`` rows.
+
+    At N>=8 a single timestep's grid already exceeds the row budget
+    (6^8 = 1.68M rows — a full-grid forward would materialise multi-GB
+    [rows, hidden] activations); ``lax.map`` over padded row blocks keeps
+    exactly one block's activations live at a time.
+    """
+    gtot = grid_x.shape[0]
+    nb = -(-gtot // row_budget)
+    pad = nb * row_budget - gtot
+    gx = jnp.pad(grid_x, ((0, pad), (0, 0)))
+    gx_b = gx.reshape(nb, row_budget, grid_x.shape[1])
+    if grid_basis.ndim == 2:
+        gb = jnp.pad(grid_basis, ((0, pad), (0, 0)))
+        gb_b = gb.reshape(nb, row_budget, grid_basis.shape[1])
+    else:
+        gb = jnp.pad(grid_basis, (0, pad))
+        gb_b = gb.reshape(nb, row_budget)
+
+    def blk(args):
+        x, b = args
+        tv = jnp.full((row_budget,), t, jnp.int32)
+        logits = denoise_fn(x, tv, b)
+        return _grid_p1_table(logits, x, tv, schedule, exact)
+
+    p1 = jax.lax.map(blk, (gx_b, gb_b))  # [nb, row_budget, N]
+    return p1.reshape(nb * row_budget, -1)[:gtot]
+
+
+def _tables_for_ts(
+    denoise_fn,
+    ts_c: jnp.ndarray,
+    num_qubits: int,
+    schedule: DiffusionSchedule,
+    exact: bool,
+    num_circuits: int = 0,
+    row_budget: int = _ROW_BUDGET,
+) -> jnp.ndarray:
+    """P(bit=1) tables ``[len(ts_c), Gtot, N]`` for the given timesteps.
+
+    Shared core of :func:`grid_p1_tables` (all T steps) and the amortised
+    per-dispatch chunks of :func:`sample_all_bases_chunked`. Every model
+    forward is bounded to ``row_budget`` rows: timesteps are grouped when
+    the grid is small (one forward covers several steps), and a single
+    timestep's grid is row-chunked when it is large (N>=8).
+    """
+    grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
+    gtot = grid_x.shape[0]
+    length = ts_c.shape[0]
+    if gtot > row_budget:
+        return jax.lax.map(
+            lambda t: _p1_rows_one_t(
+                denoise_fn, t, grid_x, grid_basis, schedule, exact,
+                row_budget,
+            ),
+            ts_c,
+        )
+    # Chunk size stays at the row-budget target for ANY length (divisor-
+    # poor or prime T included): pad ts up to a multiple of m with dummy
+    # t=1 rows and slice the padded tables off afterwards, instead of
+    # requiring an exact divisor (which degenerated to many tiny
+    # dispatches at e.g. T=97).
+    m = min(max(1, row_budget // gtot), length)
+
+    def chunk_fn(ts_g):
+        big_x = jnp.tile(grid_x, (m, 1))
+        big_basis = (
+            jnp.tile(grid_basis, (m, 1))
+            if grid_basis.ndim == 2
+            else jnp.tile(grid_basis, (m,))
+        )
+        big_t = jnp.repeat(ts_g, gtot)
+        logits = denoise_fn(big_x, big_t, big_basis)  # [m*Gtot, N, 2]
+        p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
+        return p1.reshape(m, gtot, num_qubits)
+
+    if m == length:
+        return chunk_fn(ts_c)
+    n_chunks = -(-length // m)
+    ts_pad = jnp.concatenate(
+        [ts_c, jnp.ones((n_chunks * m - length,), ts_c.dtype)]
+    )
+    tables = jax.lax.map(chunk_fn, ts_pad.reshape(n_chunks, m))
+    return tables.reshape(n_chunks * m, gtot, num_qubits)[:length]
+
+
 def grid_p1_tables(
     denoise_fn: DenoiseFn,
     num_qubits: int,
@@ -406,8 +499,9 @@ def grid_p1_tables(
     Returns ``[T, Gtot, N]`` float32, index 0 = the first reverse step
     (t = T), matching the scan order of :func:`p_sample_grid`.
 
-    The batch is chunked (``lax.map`` over groups of timesteps) so no
-    single forward exceeds ~2^17 rows: the one-shot [T·Gtot] call
+    The batch is chunked (``lax.map`` over groups of timesteps, and over
+    row blocks within a timestep once the grid alone exceeds the budget)
+    so no single forward exceeds ~2^17 rows: the one-shot [T·Gtot] call
     materialises [T·Gtot, hidden]-scale activations — 19 GB at N=6
     (T=100, grid 46,656), over HBM. 2^17-row forwards already saturate
     the MXU, so this costs nothing at small N (one chunk), and
@@ -418,36 +512,10 @@ def grid_p1_tables(
     """
     exact = _resolve_exact(schedule, exact)
     t_steps = schedule.num_timesteps
-    grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
-    gtot = grid_x.shape[0]
     ts = jnp.arange(t_steps, 0, -1)  # scan order: T, T-1, ..., 1
-    # Chunk size stays at the row-budget target for ANY T (divisor-poor or
-    # prime T included): pad ts up to a multiple of m with dummy t=1 rows
-    # and slice the padded tables off afterwards, instead of requiring an
-    # exact divisor (which degenerated to many tiny dispatches at e.g.
-    # T=97).
-    m = min(max(1, (1 << 17) // gtot), t_steps)
-
-    def chunk_fn(ts_c):
-        big_x = jnp.tile(grid_x, (m, 1))
-        big_basis = (
-            jnp.tile(grid_basis, (m, 1))
-            if grid_basis.ndim == 2
-            else jnp.tile(grid_basis, (m,))
-        )
-        big_t = jnp.repeat(ts_c, gtot)
-        logits = denoise_fn(big_x, big_t, big_basis)  # [m*Gtot, N, 2]
-        p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
-        return p1.reshape(m, gtot, num_qubits)
-
-    if m == t_steps:
-        return chunk_fn(ts)
-    n_chunks = -(-t_steps // m)
-    ts_pad = jnp.concatenate(
-        [ts, jnp.ones((n_chunks * m - t_steps,), ts.dtype)]
+    return _tables_for_ts(
+        denoise_fn, ts, num_qubits, schedule, exact, num_circuits
     )
-    tables = jax.lax.map(chunk_fn, ts_pad.reshape(n_chunks, m))
-    return tables.reshape(n_chunks * m, gtot, num_qubits)[:t_steps]
 
 
 def p_sample_grid(
@@ -701,8 +769,8 @@ def sample_all_bases(
     if walk == "auto":
         if use_grid and num_bases * shots < 32 * 6**num_qubits:
             walk = "seq"
-        elif jax.default_backend() == "tpu":
-            walk = "pallas"
+        elif jax.default_backend() == "tpu" and 2**num_qubits <= 128:
+            walk = "pallas"  # N<=7: per-cell table fits SMEM (see chunked)
         else:
             walk = "xla"
     if use_grid and walk == "pallas":
@@ -740,15 +808,30 @@ def sample_all_bases(
 def _table_chunk(
     apply_fn, params, ts_c, schedule, num_qubits: int, exact: bool, m: int
 ):
-    """One table-precompute dispatch: ``m`` timesteps of the full grid."""
-    grid_x, grid_basis = _grid_enum(num_qubits, 0)
-    gtot = grid_x.shape[0]
-    big_x = jnp.tile(grid_x, (m, 1))
-    big_basis = jnp.tile(grid_basis, (m,))
-    big_t = jnp.repeat(ts_c, gtot)
-    logits = apply_fn(params, big_x, big_t, big_basis)
-    p1 = _grid_p1_table(logits, big_x, big_t, schedule, exact)
-    return p1.reshape(m, gtot, num_qubits)
+    """One table-precompute dispatch: ``m`` timesteps of the full grid.
+
+    Internally bounded exactly like :func:`grid_p1_tables` (``lax.map``
+    over timestep groups / row blocks of <= 2^17 rows), so ``m`` controls
+    only the per-dispatch WALL TIME (relay crash horizon), never the
+    activation memory.
+    """
+    del m  # dispatch size is ts_c's static length
+
+    def denoise_fn(x, t, b):
+        return apply_fn(params, x, t, b)
+
+    return _tables_for_ts(denoise_fn, ts_c, num_qubits, schedule, exact)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _table_acc(buf, part, start):
+    """In-place accumulate a table chunk into the preallocated buffer.
+
+    Donation keeps the peak at ONE resident table (5.4 GB at N=8) plus a
+    chunk — the parts-list + concatenate assembly it replaces transiently
+    held 2-3x the table.
+    """
+    return jax.lax.dynamic_update_slice(buf, part, (start, 0, 0, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("shots",))
@@ -796,17 +879,20 @@ def sample_all_bases_chunked(
     — are paid once per chunk. Here they are paid once per EXPERIMENT:
 
     - tables are built in bounded dispatches of ``m`` timesteps
-      (``m·6^N <= max_table_rows`` rows per device program, so no single
-      dispatch approaches the relay's multi-minute crash horizon even at
-      N=8 where the full [T, 6^N] precompute would be one ~10-minute
-      program), then
+      (``m·6^N <= max_table_rows`` rows per device program bounds each
+      dispatch's WALL TIME well under the relay's multi-minute crash
+      horizon even at N=8, where the full [T, 6^N] precompute would be
+      one ~10-minute program; activation memory is bounded separately —
+      every forward inside a dispatch is <= 2^17 rows via
+      :func:`_tables_for_ts`), assembled into one donated buffer (peak =
+      the resident table, not the 2-3x of list-then-concatenate), then
     - each shot-chunk dispatch is a pure table walk with zero model calls
       (Pallas :func:`~ddqst_tpu.ops.pallas_kernels.fused_chain_walk` on
       TPU, an XLA gather/Bernoulli scan elsewhere).
 
     Semantics match ``sample_all_bases(grid_mode='on')`` in distribution
     (identical tables; the walk consumes an independent key stream), and
-    the tables' values are bitwise-identical to :func:`grid_p1_tables`
+    the tables match :func:`grid_p1_tables` to one-ULP rounding
     (same per-chunk program, tested). Peak memory is the resident table
     block: ``T·6^N·N`` f32 — 0.8 GB at N=7, 5.4 GB at N=8.
 
@@ -821,20 +907,35 @@ def sample_all_bases_chunked(
     ts = jnp.arange(t_steps, 0, -1)
     n_chunks = -(-t_steps // m)
     ts_pad = jnp.concatenate([ts, jnp.ones((n_chunks * m - t_steps,), ts.dtype)])
-    parts = [
-        _table_chunk(
-            apply_fn, params, ts_pad[i * m : (i + 1) * m], schedule,
-            num_qubits, exact, m,
+    if n_chunks == 1:
+        tables4 = _table_chunk(
+            apply_fn, params, ts, schedule, num_qubits, exact, m
+        ).reshape(t_steps, num_bases, g, num_qubits)
+    else:
+        # Donated in-place assembly: peak memory = the one resident table
+        # + one chunk, never the 2-3x of a parts-list + concatenate.
+        tables4 = jnp.zeros(
+            (t_steps, num_bases, g, num_qubits), jnp.float32
         )
-        for i in range(n_chunks)
-    ]
-    tables = (
-        parts[0] if n_chunks == 1 else jnp.concatenate(parts, axis=0)
-    )[:t_steps]
-    tables4 = tables.reshape(t_steps, num_bases, g, num_qubits)
+        last = t_steps - (n_chunks - 1) * m
+        for i in range(n_chunks):
+            part = _table_chunk(
+                apply_fn, params, ts_pad[i * m : (i + 1) * m], schedule,
+                num_qubits, exact, m,
+            ).reshape(m, num_bases, g, num_qubits)
+            if i == n_chunks - 1 and last != m:
+                part = part[:last]  # drop the dummy t=1 padding rows
+            tables4 = _table_acc(tables4, part, jnp.int32(i * m))
 
     if walk == "auto":
-        walk = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Pallas only where its per-cell table fits SMEM and the unrolled
+        # 2^N-outcome select stays short (proven through N<=7, g<=128);
+        # at N=8+ the XLA gather walk is the safe default.
+        walk = (
+            "pallas"
+            if jax.default_backend() == "tpu" and g <= 128
+            else "xla"
+        )
     cap = max(1, max_chains // num_bases)
     n_calls = -(-shots // cap)
     per_call = -(-shots // n_calls)

@@ -263,3 +263,38 @@ def test_sample_all_bases_chunked_tables_and_distribution(key):
     for b in range(9):
         emp = np.bincount(idx[b], minlength=4) / shots
         np.testing.assert_allclose(emp, np.asarray(dist[b]), atol=0.04)
+
+
+def test_tables_row_chunked_matches_full(key):
+    """The row-chunked table path (grid larger than the per-forward row
+    budget — the N>=8 regime) reproduces the unbudgeted tables exactly,
+    both through _tables_for_ts directly and through the donated
+    multi-dispatch assembly of sample_all_bases_chunked."""
+    n = 2  # Gtot = 9 * 4 = 36 rows
+    t_steps = 7
+    s = schedules.cosine_schedule(t_steps)
+    fn = _denoiser(n)
+
+    def denoise(x, t, b):
+        return fn({}, x, t, b)
+
+    ref = diff.grid_p1_tables(denoise, n, s, exact=False)
+    ts = jnp.arange(t_steps, 0, -1)
+    # row_budget=16 < Gtot=36 forces the padded lax.map-over-row-blocks
+    # branch (nb=3, 12 padding rows). Equal up to one-ULP rounding (the
+    # forwards run at different batch shapes).
+    got = diff._tables_for_ts(denoise, ts, n, s, False, row_budget=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # max_table_rows below Gtot -> m=1, 7 dispatches assembled in place
+    # via the donated buffer; the samples must follow the exact chain.
+    shots = 4000
+    samples = diff.sample_all_bases_chunked(
+        key, fn, {}, n, shots, s, exact=False, max_table_rows=16
+    )
+    assert samples.shape == (9, shots, n)
+    dist = diff.chain_distribution(denoise, n, s, exact=False)
+    idx = np.asarray(samples[..., 0] + 2 * samples[..., 1])
+    for b in range(9):
+        emp = np.bincount(idx[b], minlength=4) / shots
+        np.testing.assert_allclose(emp, np.asarray(dist[b]), atol=0.04)
