@@ -305,6 +305,17 @@ def _make_mle_factored(
             tr, ti = _apply_right_dag(tr, ti, fr[:, q], fi[:, q], q, n)
         return tr, ti
 
+    if num_rows * d * d > _FACTORED_BLOCK_ELEMS:
+        # Row-blocked iteration (N>=8 scale): the single-block body holds
+        # several [B, d, d] f32 live at once through the 2N-einsum rotate
+        # chain — 1.7 GB per array at B=6561, d=256, which overruns HBM
+        # (measured: the first N=8 dispatch crashed the TPU worker).
+        # lax.map over row blocks bounds the live set to one block.
+        return _make_factored_blocked(
+            n, num_rows, ur, ui, udr, udi, m2, eye, rotate, readout_p,
+            iterations, epsilon, tol, iters_per_call,
+        )
+
     @f32_matmul
     @jax.jit
     def step(i0, rho_in: CArray, f) -> tuple:
@@ -335,6 +346,114 @@ def _make_mle_factored(
                 jnp.zeros((num_rows, d, d), jnp.float32),
                 udr, udi,
             )
+            g = CArray(
+                (1.0 - epsilon) * eye + jnp.sum(rr, axis=0),
+                jnp.sum(ri, axis=0),
+            )
+            new = cmatmul(cmatmul(g, rho), g)
+            tr_ = jnp.trace(new.re)
+            ok = (tr_ > 1e-20) & jnp.isfinite(tr_)
+            new = new.scale(jnp.where(ok, 1.0 / jnp.where(ok, tr_, 1.0), 0.0))
+            keep = ok & jnp.isfinite(new.re).all() & jnp.isfinite(new.im).all()
+            nxt = CArray(
+                jnp.where(keep, new.re, rho.re),
+                jnp.where(keep, new.im, rho.im),
+            )
+            delta = jnp.sqrt(
+                jnp.sum((nxt.re - rho.re) ** 2 + (nxt.im - rho.im) ** 2)
+            )
+            return i + 1, nxt, delta
+
+        return jax.lax.while_loop(
+            cond, body, (i0, rho_in, jnp.float32(jnp.inf))
+        )
+
+    def reconstruct(counts: jnp.ndarray) -> CArray:
+        freqs = counts / jnp.maximum(
+            jnp.sum(counts, axis=-1, keepdims=True), 1.0
+        )
+        f = freqs.astype(jnp.float32)  # [B, d], rows sum to 1
+        rho0 = CArray(eye / d, jnp.zeros((d, d), jnp.float32))
+        return _run_chunked(step, rho0, f, iterations, tol)
+
+    return reconstruct
+
+
+# Elements of the per-iteration [B, d, d] working set above which the
+# factored MLE blocks its basis dimension. 2^26 f32 = 268 MB/array keeps
+# the rotate chain's live set ~1 GB; N<=7 (B·d² <= 3.6e7) stays on the
+# single-block path, so its proven, relay-cached program shapes are
+# untouched (CLAUDE.md round-3 protocol).
+_FACTORED_BLOCK_ELEMS = 1 << 26
+
+
+def _make_factored_blocked(
+    n, num_rows, ur, ui, udr, udi, m2, eye, rotate, readout_p,
+    iterations, epsilon, tol, iters_per_call,
+):
+    """Row-blocked factored MLE iteration (see :func:`make_mle`).
+
+    Mathematically identical to the single-block factored path: the Born
+    probabilities p[b] are per-row independent, and Σ_b U_b† diag(w_b) U_b
+    is associative over blocks. Padding rows carry w=0 (f padded with
+    zeros), so they contribute nothing to the R sum.
+    """
+    d = eye.shape[0]
+    blk = max(1, _FACTORED_BLOCK_ELEMS // (d * d))
+    nb = -(-num_rows // blk)
+    pad = nb * blk - num_rows
+
+    def pad_blocks(a):  # [B, ...] -> [nb, blk, ...]
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=1.0 if a.ndim == 4 else 0.0
+                       ).reshape((nb, blk) + a.shape[1:])
+
+    # Padding rotation factors are identity-ish values; they only shape
+    # dead compute (w=0 rows), never results.
+    ur_b, ui_b = pad_blocks(ur), pad_blocks(ui)
+    udr_b, udi_b = pad_blocks(udr), pad_blocks(udi)
+
+    @f32_matmul
+    @jax.jit
+    def step(i0, rho_in: CArray, f) -> tuple:
+        f_pad = jnp.pad(f, ((0, pad), (0, 0)))  # zero rows -> w = 0
+
+        def cond(carry):
+            i, _, delta = carry
+            return (
+                (i < i0 + iters_per_call) & (i < iterations) & (delta > tol)
+            )
+
+        def body(carry):
+            i, rho, _ = carry
+
+            def p_blk(args):
+                fr, fi = args
+                sr, _ = rotate(
+                    jnp.broadcast_to(rho.re, (blk, d, d)),
+                    jnp.broadcast_to(rho.im, (blk, d, d)),
+                    fr, fi,
+                )
+                return jnp.diagonal(sr, axis1=-2, axis2=-1)  # [blk, d]
+
+            p = jax.lax.map(p_blk, (ur_b, ui_b)).reshape(nb * blk, d)
+            if readout_p > 0:
+                p = _confuse_probs(p, m2, n)
+            w = (f_pad / jnp.maximum(p, 1e-8)) * (epsilon / num_rows)
+            if readout_p > 0:
+                w = _confuse_probs(w, m2.T, n)
+            w_b = w.reshape(nb, blk, d)
+
+            def r_blk(args):
+                fr, fi, wv = args
+                rr, ri = rotate(
+                    eye[None] * wv[:, :, None],
+                    jnp.zeros((blk, d, d), jnp.float32),
+                    fr, fi,
+                )
+                return jnp.sum(rr, axis=0), jnp.sum(ri, axis=0)
+
+            rr, ri = jax.lax.map(r_blk, (udr_b, udi_b, w_b))
             g = CArray(
                 (1.0 - epsilon) * eye + jnp.sum(rr, axis=0),
                 jnp.sum(ri, axis=0),

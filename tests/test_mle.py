@@ -171,3 +171,24 @@ def test_mle_factored_recovers_ghz4():
     counts = _exact_counts(psi, 4, shots=100000)
     rho = mle.make_mle(4, impl="factored")(counts)
     assert float(M.state_fidelity(psi, rho)) > 0.999
+
+
+def test_mle_factored_blocked_matches_single(monkeypatch):
+    """The row-blocked factored iteration (the N>=8 HBM-bounded path) is
+    mathematically identical to the single-block factored path: per-row
+    Born probs + associative R-sum over blocks, zero-weight padding."""
+    psi = states.ghz_state(3)
+    for p in (0.0, 0.03):
+        counts = _exact_counts(psi, 3, shots=50000, readout_p=p)
+        ref = mle.make_mle(3, readout_p=p, impl="factored")(counts)
+        # 27 rows x 64 elements; threshold 4*64 forces blk=4 -> 7 blocks
+        # with one padding row.
+        monkeypatch.setattr(mle, "_FACTORED_BLOCK_ELEMS", 4 * 64)
+        got = mle.make_mle(3, readout_p=p, impl="factored")(counts)
+        monkeypatch.undo()
+        np.testing.assert_allclose(
+            np.asarray(got.re), np.asarray(ref.re), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.im), np.asarray(ref.im), atol=2e-5
+        )
