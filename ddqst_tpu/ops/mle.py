@@ -387,6 +387,49 @@ def _make_mle_factored(
 _FACTORED_BLOCK_ELEMS = 1 << 26
 
 
+def factored_born_probs(rho: CArray, basis_labels: np.ndarray) -> jnp.ndarray:
+    """Born probabilities ``diag(U_b ρ U_b†)`` as ``[B, d]`` rows.
+
+    Same math as :func:`ddqst_tpu.qsim.measure.batched_probs_mixed` but by
+    per-qubit 2x2 rotations over ``lax.map``'d row blocks — it never
+    materialises the ``[B, d, d]`` rotation stack or the ``U ρ`` product
+    (3.4 GB each at N=8, B=6561), bounding device memory at one
+    ``[blk, d, d]`` block (~268 MB). Used for the MLE-projected
+    distillation target at N>=8 scale (pipeline.run_experiment).
+    """
+    labels = np.asarray(basis_labels)
+    b, n = labels.shape
+    d = 2**n
+    blk = max(1, min(b, _FACTORED_BLOCK_ELEMS // (d * d)))
+    nb = -(-b // blk)
+    pad = nb * blk - b
+    ur_np, ui_np = _rot1_split(labels)
+    ur = jnp.pad(jnp.asarray(ur_np), ((0, pad), (0, 0), (0, 0), (0, 0)),
+                 constant_values=1.0).reshape(nb, blk, n, 2, 2)
+    ui = jnp.pad(jnp.asarray(ui_np), ((0, pad), (0, 0), (0, 0), (0, 0))
+                 ).reshape(nb, blk, n, 2, 2)
+
+    @f32_matmul
+    @jax.jit
+    def run(rho_re, rho_im):
+        def p_blk(args):
+            fr, fi = args
+            sr, si = rho_re, rho_im
+            tr = jnp.broadcast_to(sr, (blk, d, d))
+            ti = jnp.broadcast_to(si, (blk, d, d))
+            for q in range(n):
+                tr, ti = _apply_left(tr, ti, fr[:, q], fi[:, q], q, n)
+            for q in range(n):
+                tr, ti = _apply_right_dag(tr, ti, fr[:, q], fi[:, q], q, n)
+            return jnp.diagonal(tr, axis1=-2, axis2=-1)  # [blk, d]
+
+        p = jax.lax.map(p_blk, (ur, ui)).reshape(nb * blk, d)[:b]
+        p = jnp.maximum(p, 0.0)
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    return run(rho.re, rho.im)
+
+
 def _make_factored_blocked(
     n, num_rows, ur, ui, udr, udi, m2, eye, rotate, readout_p,
     iterations, epsilon, tol, iters_per_call,

@@ -505,12 +505,22 @@ def run_experiment(
                 # actual held-out counts, so a bad projection loses fairly.
                 rec = mle.make_mle(cfg.data.num_qubits, data.basis_labels)
                 rho_t = rec(jnp.asarray(tgt_counts, jnp.float32))
-                rots = from_complex(
-                    measure.rotation_unitaries(data.basis_labels)
-                )
-                tgt_counts = measure.batched_probs_mixed(
-                    CArray(rho_t.re[None], rho_t.im[None]), rots
-                )[0]
+                d_t = 2**cfg.data.num_qubits
+                if data.basis_labels.shape[0] * d_t * d_t > (
+                    mle._FACTORED_BLOCK_ELEMS
+                ):
+                    # N>=8 scale: the dense rotation stack + U rho product
+                    # are ~3.4 GB each — use the blocked per-qubit path.
+                    tgt_counts = mle.factored_born_probs(
+                        rho_t, data.basis_labels
+                    )
+                else:
+                    rots = from_complex(
+                        measure.rotation_unitaries(data.basis_labels)
+                    )
+                    tgt_counts = measure.batched_probs_mixed(
+                        CArray(rho_t.re[None], rho_t.im[None]), rots
+                    )[0]
                 log_fn(f"[{cfg.name}] distillation target: MLE Born probs")
             state, ft_losses, ft_info = training.finetune_chain(
                 state, tgt_counts, schedule,

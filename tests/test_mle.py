@@ -192,3 +192,22 @@ def test_mle_factored_blocked_matches_single(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got.im), np.asarray(ref.im), atol=2e-5
         )
+
+
+def test_factored_born_probs_matches_dense(rng):
+    """Blocked per-qubit Born probs == batched_probs_mixed on a mixed rho
+    (the MLE-target path at N>=8 scale, exercised here at N=3)."""
+    from ddqst_tpu.ops.complexlib import CArray, from_complex
+    from ddqst_tpu.qsim import measure
+
+    a = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+    rho_c = (a @ a.conj().T).astype(np.complex64)
+    rho_c /= np.trace(rho_c).real
+    rho = from_complex(rho_c)
+    labels = pauli.all_basis_labels(3)
+    ref = measure.batched_probs_mixed(
+        CArray(rho.re[None], rho.im[None]),
+        from_complex(measure.rotation_unitaries(labels)),
+    )[0]
+    got = mle.factored_born_probs(rho, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
