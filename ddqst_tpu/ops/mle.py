@@ -414,14 +414,10 @@ def factored_born_probs(rho: CArray, basis_labels: np.ndarray) -> jnp.ndarray:
     def run(rho_re, rho_im):
         def p_blk(args):
             fr, fi = args
-            sr, si = rho_re, rho_im
-            tr = jnp.broadcast_to(sr, (blk, d, d))
-            ti = jnp.broadcast_to(si, (blk, d, d))
-            for q in range(n):
-                tr, ti = _apply_left(tr, ti, fr[:, q], fi[:, q], q, n)
-            for q in range(n):
-                tr, ti = _apply_right_dag(tr, ti, fr[:, q], fi[:, q], q, n)
-            return jnp.diagonal(tr, axis1=-2, axis2=-1)  # [blk, d]
+            kr, ki = _kron_block(fr, fi)  # [blk, d, d]
+            s_re = kr @ rho_re - ki @ rho_im
+            s_im = kr @ rho_im + ki @ rho_re
+            return jnp.sum(s_re * kr + s_im * ki, axis=-1)  # [blk, d]
 
         p = jax.lax.map(p_blk, (ur, ui)).reshape(nb * blk, d)[:b]
         p = jnp.maximum(p, 0.0)
@@ -430,16 +426,58 @@ def factored_born_probs(rho: CArray, basis_labels: np.ndarray) -> jnp.ndarray:
     return run(rho.re, rho.im)
 
 
+def _kron_block(fr: jnp.ndarray, fi: jnp.ndarray) -> tuple:
+    """Dense rotations for one block: ``[blk, N, 2, 2]`` per-qubit factors
+    -> split ``(re, im)`` of U = u_{N-1} ⊗ ... ⊗ u_0, shape ``[blk, d, d]``.
+
+    log2(d) complex kron steps — O(blk·d²) total work/traffic, negligible
+    next to the block's matmuls. Qubit 0 is the LSB (same convention as
+    :func:`_apply_left` / ``qsim.measure.rotation_unitaries``).
+    """
+    n = fr.shape[1]
+    b = fr.shape[0]
+    tr, ti = fr[:, 0], fi[:, 0]  # build LSB-up: U = u_{n-1} ⊗ ... ⊗ u_0
+    for q in range(1, n):
+        ar, ai = fr[:, q], fi[:, q]  # [b, 2, 2] — the new MSB factor
+        s = tr.shape[1]
+        # A ⊗ B laid out so the merged column index c = j·s + l is ONE
+        # trailing axis: TPU (8, 128) tiling pads a trailing dim of 2 by
+        # 64x (a naive bikjl einsum intermediate at N=8 allocated 16 GB
+        # for 256 MB of payload — compile-time OOM). repeat/tile keep all
+        # intermediate dims large; the kron itself is a broadcast multiply.
+        tar = jnp.repeat(ar, s, axis=-1)[:, :, None, :]  # A[b,i,c//s]
+        tai = jnp.repeat(ai, s, axis=-1)[:, :, None, :]
+        tbr = jnp.tile(tr, (1, 1, 2))[:, None, :, :]  # B[b,k,c%s]
+        tbi = jnp.tile(ti, (1, 1, 2))[:, None, :, :]
+        nr = tar * tbr - tai * tbi  # [b, 2, s, 2s]
+        ni = tar * tbi + tai * tbr
+        tr, ti = nr.reshape(b, 2 * s, 2 * s), ni.reshape(b, 2 * s, 2 * s)
+    return tr, ti
+
+
 def _make_factored_blocked(
     n, num_rows, ur, ui, udr, udi, m2, eye, rotate, readout_p,
     iterations, epsilon, tol, iters_per_call,
 ):
-    """Row-blocked factored MLE iteration (see :func:`make_mle`).
+    """Row-blocked MLE iteration for N>=8 basis counts (see :func:`make_mle`).
 
-    Mathematically identical to the single-block factored path: the Born
-    probabilities p[b] are per-row independent, and Σ_b U_b† diag(w_b) U_b
-    is associative over blocks. Padding rows carry w=0 (f padded with
-    zeros), so they contribute nothing to the R sum.
+    Same diluted-RρR math as the single-block factored path; two changes
+    make it fit the relay's memory AND wall-time envelopes:
+
+    - the basis dimension is blocked (lax.map), so live memory is one
+      ``[blk, d, d]`` block (~0.5 GB split re/im) instead of the full
+      ``[B, d, d]`` stack (3.4 GB at N=8 — crashed the worker), and
+    - each block's rotations are built densely on-device from the 2x2
+      factors (log2(d) kron steps) so the two POVM contractions run as
+      MXU-shaped matmuls: ``S = U ρ`` (contraction d) for the Born probs,
+      and ONE ``[d, blk·d] x [blk·d, d]`` product for the R-sum — the
+      per-qubit 2-wide einsum chain measured ~5 s/iteration at N=8
+      (16 bandwidth-bound passes over the block), putting a 50-iteration
+      dispatch past the relay crash horizon; the dense-block form is
+      ~0.1-0.3 s/iteration for the same O(B·d²) memory.
+
+    Padding rows carry w = 0 (f padded with zeros), so they contribute
+    nothing to the R-sum; p rows of padding are sliced off before use.
     """
     d = eye.shape[0]
     blk = max(1, _FACTORED_BLOCK_ELEMS // (d * d))
@@ -454,7 +492,6 @@ def _make_factored_blocked(
     # Padding rotation factors are identity-ish values; they only shape
     # dead compute (w=0 rows), never results.
     ur_b, ui_b = pad_blocks(ur), pad_blocks(ui)
-    udr_b, udi_b = pad_blocks(udr), pad_blocks(udi)
 
     @f32_matmul
     @jax.jit
@@ -472,12 +509,12 @@ def _make_factored_blocked(
 
             def p_blk(args):
                 fr, fi = args
-                sr, _ = rotate(
-                    jnp.broadcast_to(rho.re, (blk, d, d)),
-                    jnp.broadcast_to(rho.im, (blk, d, d)),
-                    fr, fi,
-                )
-                return jnp.diagonal(sr, axis1=-2, axis2=-1)  # [blk, d]
+                kr, ki = _kron_block(fr, fi)  # [blk, d, d]
+                # S = U ρ (batched complex matmul, contraction d).
+                s_re = kr @ rho.re - ki @ rho.im
+                s_im = kr @ rho.im + ki @ rho.re
+                # diag(U ρ U†)_i = Σ_k S_ik conj(U_ik) (real part).
+                return jnp.sum(s_re * kr + s_im * ki, axis=-1)  # [blk, d]
 
             p = jax.lax.map(p_blk, (ur_b, ui_b)).reshape(nb * blk, d)
             if readout_p > 0:
@@ -489,14 +526,18 @@ def _make_factored_blocked(
 
             def r_blk(args):
                 fr, fi, wv = args
-                rr, ri = rotate(
-                    eye[None] * wv[:, :, None],
-                    jnp.zeros((blk, d, d), jnp.float32),
-                    fr, fi,
-                )
-                return jnp.sum(rr, axis=0), jnp.sum(ri, axis=0)
+                kr, ki = _kron_block(fr, fi)
+                # R_blk = Σ_{b,j} w_bj conj(U_b)_j,: ⊗ (U_b)_j,: as one
+                # [d, blk·d] x [blk·d, d] product over flattened rows.
+                u_re = kr.reshape(blk * d, d)
+                u_im = ki.reshape(blk * d, d)
+                v_re = wv.reshape(blk * d, 1) * u_re
+                v_im = wv.reshape(blk * d, 1) * u_im
+                rr = u_re.T @ v_re + u_im.T @ v_im
+                ri = u_re.T @ v_im - u_im.T @ v_re
+                return rr, ri
 
-            rr, ri = jax.lax.map(r_blk, (udr_b, udi_b, w_b))
+            rr, ri = jax.lax.map(r_blk, (ur_b, ui_b, w_b))
             g = CArray(
                 (1.0 - epsilon) * eye + jnp.sum(rr, axis=0),
                 jnp.sum(ri, axis=0),
