@@ -287,6 +287,13 @@ def make_inverter(
     return invert
 
 
+def _is_canonical_grid(basis_labels: np.ndarray, num_qubits: int) -> bool:
+    """True iff ``basis_labels`` is the full 3^N canonical grid in order."""
+    if basis_labels.shape != (3**num_qubits, num_qubits):
+        return False
+    return bool(np.array_equal(basis_labels, all_basis_labels(num_qubits)))
+
+
 def _make_parities_to_rho(
     num_qubits: int,
     basis_labels: np.ndarray | None,
@@ -294,9 +301,54 @@ def _make_parities_to_rho(
     psd: bool,
     readout_p: float,
 ):
-    """Shared core: per-basis subset parities ``[B, 2^N]`` → ρ."""
+    """Shared core: per-basis subset parities ``[B, 2^N]`` → ρ.
+
+    Two paths:
+
+    - **Factored (full canonical grid, "mean" mode)**: the dense
+      compatibility weight ``W [4^N, B]`` is itself a tensor product over
+      qubits, so the coefficient estimate contracts qubit-by-qubit with one
+      24-float kernel ``A[pauli, basis, mask_bit]`` (I averages the 3 basis
+      choices at mask bit 0; X/Y/Z select their own basis at mask bit 1).
+      O(N·6^N) work, O(6^N) memory, and — decisive on the TPU relay — a
+      *constant-free* program: the dense W is 1.7 GB of baked HLO literal
+      at N=8 (65,536 × 6,561 f32), which exceeded the remote-compile
+      request-body limit (HTTP 413). Readout mitigation folds in as a
+      1/(1-2p) factor on the non-identity rows of A.
+    - **Dense (arbitrary basis subsets or "first" mode)**: the original
+      ``[4^N, B]`` einsum; fine at the sizes those paths run at.
+    """
     if basis_labels is None:
         basis_labels = all_basis_labels(num_qubits)
+    if compat_mode == "mean" and _is_canonical_grid(basis_labels, num_qubits):
+        a_np = np.zeros((4, 3, 2), np.float32)
+        a_np[0, :, 0] = 1.0 / 3.0
+        for k in range(1, 4):
+            a_np[k, k - 1, 1] = 1.0
+        if readout_p > 0:
+            a_np[1:] /= 1.0 - 2.0 * readout_p
+        a = jnp.asarray(a_np)
+        n = num_qubits
+
+        def parities_to_rho_factored(parities: jnp.ndarray) -> CArray:
+            # Axes after reshape: [b_0..b_{n-1}, m_{n-1}..m_0] (basis digit
+            # q is slowest for qubit 0; mask bit q of the parity column is
+            # qubit q, so the first mask axis is qubit n-1). Each step
+            # contracts the adjacent (b_q, m_q) pair at the group boundary
+            # into pauli digit p_q, appended on the right.
+            t = parities.reshape((3,) * n + (2,) * n)
+            for r in range(n, 0, -1):
+                t = t.reshape(3 ** (r - 1), 3, 2, -1)
+                t = jnp.einsum("ibmr,pbm->irp", t, a)
+            coeff = t.reshape((4,) * n)
+            coeff = coeff.transpose(tuple(range(n - 1, -1, -1))).reshape(-1)
+            # <I..I> == 1 exactly (guards all-zero-weight bases, matching
+            # the dense path's identity_row handling).
+            coeff = coeff.at[0].set(1.0)
+            rho = coeffs_to_rho(coeff, num_qubits)
+            return cl_project_psd(rho) if psd else rho
+
+        return parities_to_rho_factored
     w_np, mask_idx_np = _compat_weights(num_qubits, basis_labels, compat_mode)
     if readout_p > 0:
         mask_sizes = np.asarray(

@@ -172,3 +172,28 @@ def test_make_inverter_partial_bases(rng):
     rho = inv(bits_full[jnp.asarray(sel)])
     assert np.trace(to_complex(rho)).real == pytest.approx(1.0, abs=1e-5)
     assert float(metrics.state_fidelity(jnp.asarray(psi), rho)) > 0.5
+
+
+@pytest.mark.parametrize("n", [2, 3])
+@pytest.mark.parametrize("readout_p", [0.0, 0.02])
+def test_factored_canonical_inverter_matches_dense(n, readout_p, rng, monkeypatch):
+    # The full-canonical-grid "mean" path contracts a 24-float per-qubit
+    # kernel instead of the dense [4^N, B] compatibility matrix (whose
+    # baked HLO literal is 1.7 GB at N=8 — over the TPU relay's
+    # remote-compile body limit). Same estimator, constant-free program.
+    labels = pauli.all_basis_labels(n)
+    parities = rng.uniform(-1, 1, (3**n, 2**n)).astype(np.float32)
+    parities[:, 0] = 1.0
+    with jax.default_matmul_precision("highest"):
+        fac = pauli._make_parities_to_rho(n, labels, "mean", False, readout_p)
+        monkeypatch.setattr(pauli, "_is_canonical_grid", lambda *a: False)
+        dense = pauli._make_parities_to_rho(n, labels, "mean", False, readout_p)
+        monkeypatch.undo()
+        r_fac = fac(jnp.asarray(parities))
+        r_dense = dense(jnp.asarray(parities))
+    np.testing.assert_allclose(
+        np.asarray(r_fac.re), np.asarray(r_dense.re), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fac.im), np.asarray(r_dense.im), atol=2e-5
+    )
