@@ -432,14 +432,16 @@ def run_experiment(
     )
     data = generate_training_data(cfg, k_data, rng)
     n = cfg.data.num_qubits
-    if n > 7 or (n == 7 and cfg.data.max_bases):
+    if n > 8 or (n >= 7 and cfg.data.max_bases):
         # Shadow-scale route: per-qubit basis conditioning, evaluation at
         # the distribution level (no density matrix). Full reconstruction
-        # is feasible through N=7 (2187 bases, 16384 Pauli coefficients)
-        # because the factored MLE, the WHT counts-native inversion and the
-        # factored Pauli assembly never materialise 4^N·d² intermediates —
-        # the reference reconstructs only at N ≤ 3. Beyond N=7 (or under a
-        # shadow basis cap) the full 3^N enumeration is the binding cost.
+        # is feasible through N=8 (6561 bases, 65,536 Pauli coefficients)
+        # because no stage materialises 4^N·d² or [4^N, B] intermediates:
+        # row-blocked factored MLE, WHT counts-native inversion with the
+        # constant-free factored canonical-grid weights, factored Pauli
+        # assembly, amortised grid-table generation — the reference
+        # reconstructs only at N ≤ 3. Beyond N=8 (or under a shadow basis
+        # cap at N ≥ 7) the full 3^N enumeration is the binding cost.
         return _run_shadow_experiment(
             cfg, data, k_train, k_sample, log_fn, mesh=mesh,
             params_load=params_load, params_save=params_save,
