@@ -263,6 +263,21 @@ def experiments():
         gen_tables_once=True))
     yield ("ghz8_mle_hot", cfg8,
            "GHZ-8: 6561 bases, MLE target, amortised generation (frontier)")
+    # v2: matched-coverage distillation. The v1 run (fidelity 0.477 vs
+    # raw 0.355, RESULTS.md) showed 1600 steps x 64/6561 bases is only
+    # ~16 traversals of the basis grid (vs ~94 at N=7) and the chain-CE
+    # descent shrank proportionally. 9600 steps matches N=7's coverage
+    # with IDENTICAL program shapes (same 16,384-row dispatch, same
+    # steps_per_call=10 scan — only 6x the dispatch count; the worker
+    # cache from v1 is reused as-is). Expected wall ~4h; launch at round
+    # start per CLAUDE.md relay protocol (probe first if caches cold).
+    import dataclasses as _dc
+    cfg8v2 = cfg8.replace(
+        name="ghz8_mle_hot_v2",
+        train=_dc.replace(cfg8.train, chain_finetune_steps=9600),
+    )
+    yield ("ghz8_mle_hot_v2", cfg8v2,
+           "GHZ-8 v2: matched-coverage 9600-step distillation")
 
 
 def main():
