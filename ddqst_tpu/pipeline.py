@@ -404,6 +404,23 @@ def _run_shadow_experiment(
     return results
 
 
+def use_shadow_route(num_qubits: int, max_bases: int | None) -> bool:
+    """Route to the shadow-scale path (distribution-level evaluation)?
+
+    Full density-matrix reconstruction is feasible through N=8 (6561
+    bases, 65,536 Pauli coefficients) because no stage materialises
+    4^N·d² or [4^N, B] intermediates: row-blocked factored MLE, WHT
+    counts-native inversion with the constant-free factored
+    canonical-grid weights, factored Pauli assembly, amortised
+    grid-table generation — the reference reconstructs only at N ≤ 3.
+    Beyond N=8 (or under a shadow basis cap at N ≥ 7) the full 3^N
+    enumeration is the binding cost, so runs switch to per-qubit basis
+    conditioning and exact-Born-probability evaluation (no density
+    matrix).
+    """
+    return num_qubits > 8 or (num_qubits >= 7 and bool(max_bases))
+
+
 def run_experiment(
     cfg: ExperimentConfig,
     seed: int = 0,
@@ -432,16 +449,7 @@ def run_experiment(
     )
     data = generate_training_data(cfg, k_data, rng)
     n = cfg.data.num_qubits
-    if n > 8 or (n >= 7 and cfg.data.max_bases):
-        # Shadow-scale route: per-qubit basis conditioning, evaluation at
-        # the distribution level (no density matrix). Full reconstruction
-        # is feasible through N=8 (6561 bases, 65,536 Pauli coefficients)
-        # because no stage materialises 4^N·d² or [4^N, B] intermediates:
-        # row-blocked factored MLE, WHT counts-native inversion with the
-        # constant-free factored canonical-grid weights, factored Pauli
-        # assembly, amortised grid-table generation — the reference
-        # reconstructs only at N ≤ 3. Beyond N=8 (or under a shadow basis
-        # cap at N ≥ 7) the full 3^N enumeration is the binding cost.
+    if use_shadow_route(n, cfg.data.max_bases):
         return _run_shadow_experiment(
             cfg, data, k_train, k_sample, log_fn, mesh=mesh,
             params_load=params_load, params_save=params_save,

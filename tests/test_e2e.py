@@ -227,3 +227,17 @@ def test_gen_tables_once_pipeline():
     s = np.asarray(res["samples"])
     assert s.shape == (9, 90, 2)
     assert 0.0 <= res["fidelity"] <= 1.0
+
+
+def test_shadow_route_gate():
+    # Full density-matrix reconstruction reaches N=8 (GHZ-8 frontier run,
+    # RESULTS.md); shadow is for N>8 and capped-basis runs at N>=7.
+    from ddqst_tpu.pipeline import use_shadow_route
+
+    assert not use_shadow_route(3, 0)
+    assert not use_shadow_route(7, 0)
+    assert not use_shadow_route(8, 0)
+    assert use_shadow_route(7, 100)
+    assert use_shadow_route(8, 100)
+    assert use_shadow_route(9, 0)
+    assert use_shadow_route(10, 300)
