@@ -278,6 +278,17 @@ def experiments():
     )
     yield ("ghz8_mle_hot_v2", cfg8v2,
            "GHZ-8 v2: matched-coverage 9600-step distillation")
+    # s4800: half-coverage fallback. The 9600-step loop (960 dispatches in
+    # one process) wedged mid-loop on 2026-08-19 (flat CPU 45 min, no log
+    # line — the same mode as the two N=10 dist1k attempts); v1's 160
+    # dispatches completed. 480 dispatches probes the feasible loop length
+    # while still tripling v1's basis coverage (~47 basis-epochs).
+    cfg8s = cfg8.replace(
+        name="ghz8_mle_hot_s4800",
+        train=_dc.replace(cfg8.train, chain_finetune_steps=4800),
+    )
+    yield ("ghz8_mle_hot_s4800", cfg8s,
+           "GHZ-8: 4800-step distillation (bounded loop length)")
 
 
 def main():
