@@ -13,6 +13,7 @@ training data ("Upper Bound from Training Data",
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import jax
@@ -428,6 +429,8 @@ def run_experiment(
     log_fn: Callable = print,
     params_load: str = "",
     params_save: str = "",
+    target_cache: str = "",
+    stop_after: str = "",
 ) -> dict:
     """Full reference-parity run. Returns a metrics dict.
 
@@ -435,9 +438,24 @@ def run_experiment(
     inversion on the raw training shots — the reference's baseline check),
     z_bias, losses, rho, rho_raw, target.
 
-    ``params_load``/``params_save`` (shadow route only): orbax params
-    snapshot paths for warm-starting distillation iterations without the
-    CE retrain (the same cfg + seed regenerates identical data/bases).
+    ``params_load``/``params_save``: orbax params snapshot paths for
+    warm-starting distillation without the CE retrain (the same cfg +
+    seed regenerates identical data/bases). On the full route these
+    enable SEGMENTED distillation: frontier campaigns split the
+    wedge-prone long dispatch loop into short-lived processes of ~160
+    dispatches each (the relay-proven loop length — the 960-dispatch
+    GHZ-8 v2 loop wedged mid-run; CLAUDE.md dispatch-shape protocol),
+    chaining ``params_save`` → ``params_load``. The distillation
+    optimizer state resets per segment (fresh Adam moments at constant
+    lr — a brief re-warmup, no measured quality cost at these budgets).
+
+    ``target_cache`` (full route, ``chain_target='mle'``): npz path for
+    the MLE-projected Born-probs target — computed once by the first
+    segment (~25 min at N=8: a full MLE solve) and reloaded by the rest.
+
+    ``stop_after='distill'`` (full route): return right after
+    distillation + ``params_save`` with a training-only results dict —
+    segments 1..K-1 skip the generation/estimator tail.
     """
     key = jax.random.key(seed)
     rng = np.random.default_rng(seed)
@@ -454,19 +472,36 @@ def run_experiment(
             cfg, data, k_train, k_sample, log_fn, mesh=mesh,
             params_load=params_load, params_save=params_save,
         )
-    if params_load or params_save:
-        log_fn(f"[{cfg.name}] WARNING: params_load/params_save are shadow-"
-               "route options; ignored on the full-reconstruction route")
     x, basis = flatten_for_training(data.bits, data.basis_idx)
 
     schedule = make_schedule(cfg.diffusion.schedule, cfg.diffusion.num_timesteps)
     model = build_model(cfg.model, cfg.data.num_qubits, cfg.diffusion.num_timesteps)
 
-    log_fn(f"[{cfg.name}] training on {x.shape[0]} shots")
-    state, losses = training.fit(
-        k_train, model, x, basis, cfg.train, schedule, mesh=mesh, log_fn=log_fn
-    )
+    if params_load:
+        # Segment warm start: skip CE training, restore the previous
+        # segment's params (same cfg + seed → identical data). Import
+        # after first device use (CLAUDE.md: importing orbax before
+        # device init can deadlock the axon plugin).
+        from ddqst_tpu.utils import checkpoint as ckpt
 
+        state = training.create_state(
+            jax.random.split(k_train)[0], model, cfg.train,
+            cfg.data.num_qubits,
+        )
+        state = state.replace(
+            params=ckpt.restore_params(params_load, state.params)
+        )
+        losses = jnp.zeros((0,), jnp.float32)
+        log_fn(f"[{cfg.name}] warm start: params from {params_load} "
+               "(CE training skipped)")
+    else:
+        log_fn(f"[{cfg.name}] training on {x.shape[0]} shots")
+        state, losses = training.fit(
+            k_train, model, x, basis, cfg.train, schedule, mesh=mesh,
+            log_fn=log_fn,
+        )
+
+    ft_info, ft_losses = None, None
     if cfg.train.chain_finetune_steps > 0:
         full = 3**cfg.data.num_qubits
         if cfg.diffusion.infer_mode == "generate" and len(data.basis_idx) == full:
@@ -513,25 +548,37 @@ def run_experiment(
                 # in (clean when mitigate_train_data resampled the bits,
                 # raw otherwise); held-out selection still scores against
                 # actual held-out counts, so a bad projection loses fairly.
-                rec = mle.make_mle(cfg.data.num_qubits, data.basis_labels)
-                rho_t = rec(jnp.asarray(tgt_counts, jnp.float32))
-                d_t = 2**cfg.data.num_qubits
-                if data.basis_labels.shape[0] * d_t * d_t > (
-                    mle._FACTORED_BLOCK_ELEMS
-                ):
-                    # N>=8 scale: the dense rotation stack + U rho product
-                    # are ~3.4 GB each — use the blocked per-qubit path.
-                    tgt_counts = mle.factored_born_probs(
-                        rho_t, data.basis_labels
+                if target_cache and os.path.exists(target_cache):
+                    tgt_counts = jnp.asarray(
+                        np.load(target_cache)["target"], jnp.float32
                     )
+                    log_fn(f"[{cfg.name}] distillation target: MLE Born "
+                           f"probs (cached, {target_cache})")
                 else:
-                    rots = from_complex(
-                        measure.rotation_unitaries(data.basis_labels)
-                    )
-                    tgt_counts = measure.batched_probs_mixed(
-                        CArray(rho_t.re[None], rho_t.im[None]), rots
-                    )[0]
-                log_fn(f"[{cfg.name}] distillation target: MLE Born probs")
+                    rec = mle.make_mle(cfg.data.num_qubits, data.basis_labels)
+                    rho_t = rec(jnp.asarray(tgt_counts, jnp.float32))
+                    d_t = 2**cfg.data.num_qubits
+                    if data.basis_labels.shape[0] * d_t * d_t > (
+                        mle._FACTORED_BLOCK_ELEMS
+                    ):
+                        # N>=8 scale: the dense rotation stack + U rho
+                        # product are ~3.4 GB each — use the blocked
+                        # per-qubit path.
+                        tgt_counts = mle.factored_born_probs(
+                            rho_t, data.basis_labels
+                        )
+                    else:
+                        rots = from_complex(
+                            measure.rotation_unitaries(data.basis_labels)
+                        )
+                        tgt_counts = measure.batched_probs_mixed(
+                            CArray(rho_t.re[None], rho_t.im[None]), rots
+                        )[0]
+                    if target_cache:
+                        np.savez_compressed(
+                            target_cache, target=np.asarray(tgt_counts)
+                        )
+                    log_fn(f"[{cfg.name}] distillation target: MLE Born probs")
             state, ft_losses, ft_info = training.finetune_chain(
                 state, tgt_counts, schedule,
                 cfg.data.num_qubits,
@@ -564,6 +611,21 @@ def run_experiment(
                 f"[{cfg.name}] WARNING: chain distillation skipped (needs "
                 "infer_mode='generate' and the full canonical basis set)"
             )
+
+    if params_save:
+        from ddqst_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_params(params_save, state.params)
+        log_fn(f"[{cfg.name}] saved params to {params_save}")
+    if stop_after == "distill":
+        # Segment mode: training-only result; the final segment (or a
+        # params_load run with chain_finetune_steps=0) does the
+        # generation/estimator tail.
+        return {
+            "losses": np.asarray(losses),
+            "ft_losses": None if ft_info is None else np.asarray(ft_losses),
+            "ft_info": ft_info,
+        }
 
     if cfg.diffusion.infer_mode == "denoise":
         # Explicit readout-channel inversion: reverse-diffuse the measured

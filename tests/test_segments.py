@@ -1,0 +1,85 @@
+"""Segmented-distillation mechanics: warm start, target cache, stop_after.
+
+These are the primitives `scripts/run_frontier_segments.py` chains to keep
+frontier campaigns' distillation dispatch loops at the relay-proven length
+(~160 dispatches per process; longer single-process loops wedge the TPU
+relay — CLAUDE.md wedge modes).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ddqst_tpu import pipeline
+from ddqst_tpu.config import get_preset
+
+
+def _tiny_mle_cfg(name):
+    cfg = get_preset("special_states").replace(name=name)
+    return cfg.replace(
+        model=cfg.model.__class__(embed_dim=16, hidden_dim=32, num_blocks=1),
+        diffusion=cfg.diffusion.__class__(
+            num_timesteps=10, schedule="cosine", sampler="renoise"
+        ),
+        train=cfg.train.__class__(
+            batch_size=256, learning_rate=1e-3, optimizer="adam",
+            num_epochs=2, log_every=0, eval_every=0,
+            chain_finetune_steps=4, chain_lr=1e-3, chain_basis_batch=0,
+            chain_steps_per_call=2, chain_val_fraction=0.0,
+            chain_target="mle",
+        ),
+        data=cfg.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="ideal",
+            shots_train=400, shots_infer=500,
+        ),
+    )
+
+
+def test_segmented_distillation_chain(tmp_path):
+    cache = str(tmp_path / "target.npz")
+    p0 = str(tmp_path / "seg0_params")
+    logs = []
+
+    # Segment 0: CE + MLE target (written to cache) + 4 distill steps,
+    # stop before the generation/estimator tail.
+    res0 = pipeline.run_experiment(
+        _tiny_mle_cfg("seg0"), seed=0, log_fn=logs.append,
+        params_save=p0, target_cache=cache, stop_after="distill",
+    )
+    assert os.path.exists(cache), "MLE target not cached"
+    assert os.path.exists(p0), "params snapshot not saved"
+    assert res0["ft_info"] is not None
+    assert "fidelity" not in res0  # tail skipped
+    assert any("MLE Born probs" in m and "cached" not in m for m in logs)
+
+    # Segment 1: warm start (CE skipped), target loaded from cache.
+    logs1 = []
+    res1 = pipeline.run_experiment(
+        _tiny_mle_cfg("seg1"), seed=0, log_fn=logs1.append,
+        params_load=p0, target_cache=cache, stop_after="distill",
+    )
+    assert any("warm start" in m for m in logs1)
+    assert any("cached" in m for m in logs1)
+    assert res1["ft_info"] is not None
+    # Warm-started distillation resumes from segment 0's endpoint: its
+    # starting full-grid CE equals segment 0's post-distillation CE.
+    np.testing.assert_allclose(
+        res1["ft_info"]["train_ce_before"],
+        res0["ft_info"]["train_ce_after"],
+        rtol=1e-5,
+    )
+
+    # Eval segment: warm start + zero distillation steps + full tail.
+    cfg_eval = _tiny_mle_cfg("seg_eval")
+    cfg_eval = cfg_eval.replace(
+        train=cfg_eval.train.__class__(
+            batch_size=256, learning_rate=1e-3, optimizer="adam",
+            num_epochs=2, log_every=0, eval_every=0,
+            chain_finetune_steps=0,
+        ),
+    )
+    res_eval = pipeline.run_experiment(
+        cfg_eval, seed=0, log_fn=lambda *a: None, params_load=p0,
+    )
+    assert "fidelity" in res_eval and 0.0 <= res_eval["fidelity"] <= 1.0
