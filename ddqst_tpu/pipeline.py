@@ -222,7 +222,7 @@ def train_on_dataset(
 def _run_shadow_experiment(
     cfg: ExperimentConfig, data: GeneratedData, k_train, k_sample,
     log_fn: Callable, mesh=None, params_load: str = "",
-    params_save: str = "",
+    params_save: str = "", stop_after: str = "",
 ) -> dict:
     """Large-N path: train on per-qubit basis labels, evaluate generated
     distributions against the EXACT Born probabilities of the clean target
@@ -340,6 +340,15 @@ def _run_shadow_experiment(
 
         ckpt.save_params(params_save, state.params)
         log_fn(f"[{cfg.name}] saved params to {params_save}")
+    if stop_after == "distill":
+        # Segment mode (mirrors the full route): training-only result;
+        # a later params_load run with chain_finetune_steps=0 does the
+        # generation/metrics tail. Skips the ~500k-bitstring transformer
+        # generation per distillation segment at N=10.
+        return {
+            "losses": np.asarray(losses),
+            "ft_info": ft_info,
+        }
     shots_gen = max(cfg.data.shots_infer, 1)
     samples = diff.sample_for_bases(
         k_sample, state.apply_fn, {"params": state.params},
@@ -471,6 +480,7 @@ def run_experiment(
         return _run_shadow_experiment(
             cfg, data, k_train, k_sample, log_fn, mesh=mesh,
             params_load=params_load, params_save=params_save,
+            stop_after=stop_after,
         )
     x, basis = flatten_for_training(data.bits, data.basis_idx)
 

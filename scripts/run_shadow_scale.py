@@ -26,6 +26,57 @@ import os
 import time
 
 
+def make_cfg(
+    tag: str, *, epochs: int = 150, embed: int = 128, hidden: int = 512,
+    blocks: int = 4, heads: int = 4, ema: float = 0.0, lr: float = 1e-3,
+    batch: int = 1024, shots_infer: int = 5000, shots_train: int = 1024,
+    max_bases: int = 100, sampler: str | None = None, mitigate: bool = False,
+    distill_steps: int = 0, distill_lr: float = 1e-3,
+    distill_basis_batch: int = 16, distill_steps_per_call: int = 5,
+    distill_val: float = 0.15, distill_salt: int = 0,
+):
+    """The shadow_transformer preset with the study's knobs applied.
+
+    Shared by the one-shot runner below and the segmented campaign driver
+    (``run_shadow_segments.py``) so both build byte-identical configs —
+    same seed + same data flags → identical data, which is what makes
+    orbax warm starts resume exactly (CLAUDE.md N=10 warm-start protocol).
+    """
+    from ddqst_tpu.config import get_preset
+
+    base = get_preset("shadow_transformer")
+    return base.replace(
+        name=f"shadow_{tag}",
+        diffusion=base.diffusion.__class__(
+            num_timesteps=100, schedule="cosine",
+            sampler=sampler or base.diffusion.sampler,
+        ),
+        model=base.model.__class__(
+            arch="transformer", input_encoding="token",
+            embed_dim=embed, hidden_dim=hidden,
+            num_blocks=blocks, num_heads=heads,
+        ),
+        train=base.train.__class__(
+            batch_size=batch, learning_rate=lr, optimizer="adam",
+            num_epochs=epochs, lr_schedule="cosine",
+            ema_decay=ema, log_every=0, eval_every=0,
+            chain_finetune_steps=distill_steps,
+            chain_lr=distill_lr,
+            chain_basis_batch=distill_basis_batch,
+            chain_steps_per_call=distill_steps_per_call,
+            chain_val_fraction=distill_val,
+            chain_key_salt=distill_salt,
+        ),
+        data=base.data.__class__(
+            num_qubits=10, state_type="rqc", noise_type="readout",
+            shots_train=shots_train, shots_infer=shots_infer,
+            rqc_depth=8, max_bases=max_bases,
+            mitigate_readout=mitigate,
+            mitigate_train_data=mitigate,
+        ),
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", required=True)
@@ -71,38 +122,17 @@ def main():
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
     from ddqst_tpu import pipeline
-    from ddqst_tpu.config import get_preset
 
-    base = get_preset("shadow_transformer")
-    cfg = base.replace(
-        name=f"shadow_{args.tag}",
-        diffusion=base.diffusion.__class__(
-            num_timesteps=100, schedule="cosine",
-            sampler=args.sampler or base.diffusion.sampler,
-        ),
-        model=base.model.__class__(
-            arch="transformer", input_encoding="token",
-            embed_dim=args.embed, hidden_dim=args.hidden,
-            num_blocks=args.blocks, num_heads=args.heads,
-        ),
-        train=base.train.__class__(
-            batch_size=args.batch, learning_rate=args.lr, optimizer="adam",
-            num_epochs=args.epochs, lr_schedule="cosine",
-            ema_decay=args.ema, log_every=0, eval_every=0,
-            chain_finetune_steps=args.distill_steps,
-            chain_lr=args.distill_lr,
-            chain_basis_batch=args.distill_basis_batch,
-            chain_steps_per_call=args.distill_steps_per_call,
-            chain_val_fraction=args.distill_val,
-            chain_key_salt=args.distill_salt,
-        ),
-        data=base.data.__class__(
-            num_qubits=10, state_type="rqc", noise_type="readout",
-            shots_train=args.shots_train, shots_infer=args.shots_infer,
-            rqc_depth=8, max_bases=args.max_bases,
-            mitigate_readout=args.mitigate,
-            mitigate_train_data=args.mitigate,
-        ),
+    cfg = make_cfg(
+        args.tag, epochs=args.epochs, embed=args.embed, hidden=args.hidden,
+        blocks=args.blocks, heads=args.heads, ema=args.ema, lr=args.lr,
+        batch=args.batch, shots_infer=args.shots_infer,
+        shots_train=args.shots_train, max_bases=args.max_bases,
+        sampler=args.sampler, mitigate=args.mitigate,
+        distill_steps=args.distill_steps, distill_lr=args.distill_lr,
+        distill_basis_batch=args.distill_basis_batch,
+        distill_steps_per_call=args.distill_steps_per_call,
+        distill_val=args.distill_val, distill_salt=args.distill_salt,
     )
     t0 = time.perf_counter()
     res = pipeline.run_experiment(

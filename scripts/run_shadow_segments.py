@@ -1,0 +1,215 @@
+"""Segmented N=10 shadow-scale distillation campaign.
+
+The round-3 plateau analysis (RESULTS.md "N=10 shadow") found shadow-scale
+chain distillation is the one lever that moves the N=10 TV plateau
+(0.197 → 0.174 at 300 steps, still descending at the budget end), but the
+two dist1k continuation attempts wedged the TPU relay inside long
+dispatch loops (CLAUDE.md "wedge modes"), and the CE warm-start snapshot
+was lost to a container reset because it lived in /tmp.
+
+This driver applies the GHZ-8 segmented protocol
+(``run_frontier_segments.py``) to the shadow route:
+
+  ce segment:   data gen + 150-epoch CE training (~25 min), NO
+                distillation -> params snapshot under the REPO workdir
+                (survives container resets)
+  segment i:    data gen (same seed = identical data/bases) + warm start
+                from the previous snapshot + ``steps_per_segment`` more
+                distillation steps in a FRESH process at the relay-proven
+                dispatch shapes (steps_per_call=5, basis_batch=16,
+                300 steps = 60 dispatches/process), fresh salt per
+                segment so basis minibatches are not replayed
+  eval:         warm start from the last segment, 0 distillation steps,
+                full generation + exact-Born metrics tail -> JSONL row
+
+Reference scale anchor: RQC depth 8 at N=10 with shadow bases, matching
+``RQC_dataset_building_phase/build_dataset.py:69-87``; everything past the
+data protocol (transformer denoiser, chain distillation, segmentation) is
+framework-native.
+
+Usage (full campaign: CE + 4x300 distillation + eval ~= 1h TPU):
+  env PYTHONPATH=/root/repo:/root/.axon_site python \
+      scripts/run_shadow_segments.py --tag dist_seg --segments 4
+
+Resume after an interrupted segment i (the CE snapshot is reused):
+  ... run_shadow_segments.py --tag dist_seg --segments 4 --start_segment i
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(SCRIPTS)
+sys.path.insert(0, SCRIPTS)
+
+
+def _cfg_for(args, *, distill_steps: int, distill_salt: int):
+    from run_shadow_scale import make_cfg
+
+    return make_cfg(
+        args.tag, epochs=args.epochs, embed=args.embed, hidden=args.hidden,
+        blocks=args.blocks, heads=args.heads,
+        shots_infer=args.shots_infer, shots_train=args.shots_train,
+        max_bases=args.max_bases,
+        distill_steps=distill_steps,
+        distill_basis_batch=args.distill_basis_batch,
+        distill_steps_per_call=args.distill_steps_per_call,
+        distill_val=args.distill_val, distill_salt=distill_salt,
+    )
+
+
+def child(args) -> None:
+    """One segment (ce / distill / eval) in its own fresh process."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
+    if os.environ.get("DDQST_CPU") == "1":
+        # CPU smoke-test mode: drop the axon PJRT factory before first
+        # device use (its init costs ~4 min even under JAX_PLATFORMS=cpu).
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        _xb._topology_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    from ddqst_tpu import pipeline
+
+    tag, seg = args.tag, args.child_segment
+
+    def snap(i: int) -> str:
+        name = "ce" if i < 0 else f"seg{i}"
+        return os.path.join(args.workdir, f"{tag}_{name}_params")
+
+    if args.child_role == "ce":
+        cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
+        pipeline.run_experiment(
+            cfg, seed=args.seed, params_save=snap(-1), stop_after="distill",
+        )
+        print("== ce segment done", flush=True)
+        return
+    if args.child_role == "distill":
+        # Salt = seg+1: segment i must see different basis minibatches
+        # than segment i-1 (the minibatch key is positional — CLAUDE.md).
+        cfg = _cfg_for(
+            args, distill_steps=args.steps_per_segment, distill_salt=seg + 1,
+        )
+        res = pipeline.run_experiment(
+            cfg, seed=args.seed, params_load=snap(seg - 1),
+            params_save=snap(seg), stop_after="distill",
+        )
+        info = res.get("ft_info") or {}
+        print(
+            f"== segment {seg} done: chain CE "
+            f"{info.get('train_ce_before', float('nan')):.5f} -> "
+            f"{info.get('train_ce_after', float('nan')):.5f}",
+            flush=True,
+        )
+        return
+    # eval role: no further distillation, full generation/metrics tail.
+    cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
+    t0 = time.perf_counter()
+    res = pipeline.run_experiment(cfg, seed=args.seed, params_load=snap(seg))
+    rec = {
+        "tag": f"{tag}_seg{seg + 1}x{args.steps_per_segment}",
+        "epochs": args.epochs,
+        "model": [args.embed, args.hidden, args.blocks, args.heads],
+        "distill_steps": (seg + 1) * args.steps_per_segment,
+        "max_bases": args.max_bases,
+        "seed": args.seed,
+        "mean_tv_to_target": round(res["mean_tv_to_target"], 5),
+        "tv_shot_noise_floor": round(res["tv_shot_noise_floor"], 5),
+        "meas_tv_to_target": round(res["meas_tv_to_target"], 5),
+        "mean_marginal_error": round(res["mean_marginal_error"], 5),
+        "classical_fidelity": round(res["classical_fidelity"], 5),
+        "note": f"segmented distillation: {seg + 1} x "
+                f"{args.steps_per_segment} steps",
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", default="dist_seg")
+    ap.add_argument("--segments", type=int, default=4)
+    ap.add_argument("--steps_per_segment", type=int, default=300,
+                    help="300 steps at steps_per_call=5 = 60 dispatches "
+                         "per process, the relay-proven loop length; the "
+                         "two 1000-step single-process attempts wedged")
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--embed", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--shots_infer", type=int, default=5000)
+    ap.add_argument("--shots_train", type=int, default=1024)
+    ap.add_argument("--max_bases", type=int, default=300,
+                    help="basis diversity: 300 shadow bases is the "
+                         "measured plateau-breaking config (RESULTS.md)")
+    ap.add_argument("--distill_basis_batch", type=int, default=16)
+    ap.add_argument("--distill_steps_per_call", type=int, default=5)
+    ap.add_argument("--distill_val", type=float, default=0.15)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default=os.path.join(REPO, "shadow_work"))
+    ap.add_argument("--out",
+                    default=os.path.join(REPO, "examples/results_shadow.jsonl"))
+    ap.add_argument("--start_segment", type=int, default=-1,
+                    help="-1 = run the CE segment first; >=0 = resume the "
+                         "distillation chain at this segment (CE snapshot "
+                         "must exist)")
+    ap.add_argument("--cooldown", type=int, default=60,
+                    help="seconds between processes (relay client protocol)")
+    # Internal: child invocation.
+    ap.add_argument("--child_role", choices=["ce", "distill", "eval"],
+                    default="")
+    ap.add_argument("--child_segment", type=int, default=0)
+    args = ap.parse_args()
+    if args.child_role:
+        child(args)
+        return
+
+    os.makedirs(args.workdir, exist_ok=True)
+    base = [
+        sys.executable, os.path.abspath(__file__),
+        "--tag", args.tag, "--seed", str(args.seed),
+        "--workdir", args.workdir, "--out", args.out,
+        "--steps_per_segment", str(args.steps_per_segment),
+        "--epochs", str(args.epochs),
+        "--embed", str(args.embed), "--hidden", str(args.hidden),
+        "--blocks", str(args.blocks), "--heads", str(args.heads),
+        "--shots_infer", str(args.shots_infer),
+        "--shots_train", str(args.shots_train),
+        "--max_bases", str(args.max_bases),
+        "--distill_basis_batch", str(args.distill_basis_batch),
+        "--distill_steps_per_call", str(args.distill_steps_per_call),
+        "--distill_val", str(args.distill_val),
+    ]
+    for seg in range(args.start_segment, args.segments + 1):
+        if seg < 0:
+            role, seg_arg = "ce", 0
+        elif seg == args.segments:
+            # The eval child warm-starts from the LAST distill segment.
+            role, seg_arg = "eval", args.segments - 1
+        else:
+            role, seg_arg = "distill", seg
+        cmd = base + ["--child_role", role, "--child_segment", str(seg_arg)]
+        print(f"[shadow-segments] launching {role} segment {seg} "
+              f"({time.strftime('%H:%M:%S')})", flush=True)
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            print(f"[shadow-segments] segment {seg} FAILED (rc={rc}); "
+                  f"resume with --start_segment {seg}", flush=True)
+            sys.exit(rc)
+        time.sleep(args.cooldown)
+    print("[shadow-segments] campaign complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,67 @@ def test_segmented_distillation_chain(tmp_path):
         cfg_eval, seed=0, log_fn=lambda *a: None, params_load=p0,
     )
     assert "fidelity" in res_eval and 0.0 <= res_eval["fidelity"] <= 1.0
+
+
+def _tiny_shadow_cfg(name, distill_steps, salt=0):
+    """N=7 shadow-route config (use_shadow_route: N>=7 with a basis cap)
+    at CPU-test scale — the segment mechanics `run_shadow_segments.py`
+    chains for the N=10 campaign."""
+    cfg = get_preset("shadow_transformer").replace(name=name)
+    return cfg.replace(
+        model=cfg.model.__class__(
+            arch="transformer", input_encoding="token", embed_dim=16,
+            hidden_dim=32, num_blocks=1, num_heads=2,
+        ),
+        diffusion=cfg.diffusion.__class__(
+            num_timesteps=8, schedule="cosine", sampler="renoise"
+        ),
+        train=cfg.train.__class__(
+            batch_size=128, learning_rate=1e-3, optimizer="adam",
+            num_epochs=1, log_every=0, eval_every=0,
+            chain_finetune_steps=distill_steps, chain_lr=1e-3,
+            chain_basis_batch=2, chain_steps_per_call=2,
+            chain_val_fraction=0.25, chain_key_salt=salt,
+        ),
+        data=cfg.data.__class__(
+            num_qubits=7, state_type="rqc", noise_type="readout",
+            shots_train=64, shots_infer=128, rqc_depth=2, max_bases=4,
+        ),
+    )
+
+
+def test_segmented_distillation_shadow_route(tmp_path):
+    """The shadow route supports the same segment primitives as the full
+    route: params_save + stop_after='distill' (skips the generation/
+    metrics tail), warm start resuming distillation, eval-only tail."""
+    p_ce = str(tmp_path / "ce_params")
+    p0 = str(tmp_path / "seg0_params")
+    logs = []
+
+    # CE segment: training only, snapshot, no generation tail.
+    res_ce = pipeline.run_experiment(
+        _tiny_shadow_cfg("sh_ce", 0), seed=0, log_fn=logs.append,
+        params_save=p_ce, stop_after="distill",
+    )
+    assert os.path.exists(p_ce)
+    assert "mean_tv_to_target" not in res_ce  # tail skipped
+    assert any("shadow-scale training" in m for m in logs)
+
+    # Distill segment: warm start (CE skipped), 4 chain steps, snapshot.
+    logs1 = []
+    res0 = pipeline.run_experiment(
+        _tiny_shadow_cfg("sh_seg0", 4, salt=1), seed=0, log_fn=logs1.append,
+        params_load=p_ce, params_save=p0, stop_after="distill",
+    )
+    assert any("warm start" in m for m in logs1)
+    assert any("chain distillation" in m for m in logs1)
+    assert res0["ft_info"] is not None
+    assert "mean_tv_to_target" not in res0
+
+    # Eval segment: warm start + zero steps + full metrics tail.
+    res_eval = pipeline.run_experiment(
+        _tiny_shadow_cfg("sh_eval", 0), seed=0, log_fn=lambda *a: None,
+        params_load=p0,
+    )
+    assert "mean_tv_to_target" in res_eval
+    assert 0.0 <= res_eval["classical_fidelity"] <= 1.0
