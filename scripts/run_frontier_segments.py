@@ -9,10 +9,13 @@ each a FRESH short-lived process at the relay-proven loop length,
 chained through orbax params snapshots (`run_experiment(params_load=...,
 params_save=..., stop_after='distill')`):
 
-  segment 0:  data gen + CE training + MLE target (cached to npz)
-              + steps/K distillation steps  -> params_seg0
-  segment i:  data gen (same seed = identical data) + warm start from
-              params_seg{i-1} + cached target + steps/K more steps
+  ce segment: data gen + CE training only -> params_ce (distillation
+              retries after a relay wedge then never re-pay the CE train)
+  segment 0:  data gen (same seed = identical data) + warm start from
+              params_ce + MLE target (cached to npz) + steps/K
+              distillation steps -> params_seg0
+  segment i:  warm start from params_seg{i-1} + cached target
+              + steps/K more steps
   eval:       warm start from the last segment, 0 distillation steps,
               full generation/estimator/metrics tail -> JSONL row
 
@@ -62,16 +65,33 @@ def child(args) -> None:
         (t, c, n) for t, c, n in experiments() if t == args.tag
     )
     seg = args.child_segment
-    prev = (
-        os.path.join(args.workdir, f"{tag}_seg{seg - 1}_params")
-        if seg > 0 else ""
-    )
-    cur = os.path.join(args.workdir, f"{tag}_seg{seg}_params")
+
+    def snap(i: int) -> str:
+        name = "ce" if i < 0 else f"seg{i}"
+        return os.path.join(args.workdir, f"{tag}_{name}_params")
+
+    # Segment 0 warm-starts from the CE snapshot when one exists (the
+    # 'ce' role ran first); legacy campaigns without one do CE inline.
+    prev = snap(seg - 1) if (seg > 0 or os.path.exists(snap(-1))) else ""
+    cur = snap(seg)
     cache = os.path.join(args.workdir, f"{tag}_target.npz")
     if args.ce_epochs:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.ce_epochs,
         ))
+    if args.child_role == "ce":
+        # CE training only, snapshotted: distillation segments (which can
+        # wedge the relay and need killing/retrying) then never re-pay
+        # the CE train on relaunch.
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, chain_finetune_steps=0,
+        ))
+        pipeline.run_experiment(
+            cfg, seed=args.seed, params_save=snap(-1),
+            stop_after="distill",
+        )
+        print("== ce segment done", flush=True)
+        return
     if args.child_role == "distill":
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train,
@@ -130,15 +150,18 @@ def main():
     ap.add_argument("--workdir", default=os.path.join(REPO, "frontier_work"))
     ap.add_argument("--out",
                     default=os.path.join(REPO, "examples/results_scaling.jsonl"))
-    ap.add_argument("--start_segment", type=int, default=0,
-                    help="resume an interrupted campaign at this segment")
+    ap.add_argument("--start_segment", type=int, default=-1,
+                    help="-1 = run the CE-snapshot segment first; >=0 = "
+                    "resume an interrupted campaign at this segment "
+                    "(segment 0 loads the CE snapshot when present)")
     ap.add_argument("--cooldown", type=int, default=60,
                     help="seconds between processes (relay client protocol)")
     ap.add_argument("--ce_epochs", type=int, default=0,
                     help="override CE epochs in segment 0 (0 = keep the "
                     "config's budget; used by probes and CPU smoke tests)")
     # Internal: child invocation.
-    ap.add_argument("--child_role", choices=["distill", "eval"], default="")
+    ap.add_argument("--child_role", choices=["ce", "distill", "eval"],
+                    default="")
     ap.add_argument("--child_segment", type=int, default=0)
     args = ap.parse_args()
     if args.child_role:
@@ -154,9 +177,13 @@ def main():
         "--ce_epochs", str(args.ce_epochs),
     ]
     for seg in range(args.start_segment, args.segments + 1):
-        role = "eval" if seg == args.segments else "distill"
-        # The eval child warm-starts from the LAST distill segment.
-        seg_arg = seg if role == "distill" else args.segments
+        if seg < 0:
+            role, seg_arg = "ce", 0
+        elif seg == args.segments:
+            # The eval child warm-starts from the LAST distill segment.
+            role, seg_arg = "eval", args.segments
+        else:
+            role, seg_arg = "distill", seg
         cmd = base + ["--child_role", role, "--child_segment", str(seg_arg)]
         print(f"[segments] launching {role} segment {seg} "
               f"({time.strftime('%H:%M:%S')})", flush=True)
