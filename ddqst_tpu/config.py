@@ -88,6 +88,15 @@ class TrainConfig:
     # Distillation basis minibatch (0 = full 3^N set per step): bounds the
     # per-step grid at chain_basis_batch*2^N rows for N >= 6.
     chain_basis_batch: int = 0
+    # Gradient accumulation over this many disjoint chain_basis_batch
+    # minibatches per Adam step (train.finetune_chain accum): raises
+    # per-step basis coverage accum-fold without raising the per-dispatch
+    # grid size. The minibatch-noise-floor fix at N >= 8: the GHZ-8
+    # campaign's chain-CE descent collapsed 13x at 1% coverage/step, and
+    # the CPU A/B (scripts/diag_segment_descent.py) showed 4x coverage
+    # out-descends 1x at equal step count (0.223 vs 0.168) while opt
+    # chaining / lr decay do not.
+    chain_accum: int = 1
     # Automated distillation temperature (the one-recipe criterion,
     # RESULTS.md "bias-variance knob"): hold out this fraction of training
     # shots per basis, step-select/early-stop distillation on the

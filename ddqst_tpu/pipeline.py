@@ -36,6 +36,45 @@ from ddqst_tpu import train as training
 _GEN_CHAIN_CAP = 1 << 21
 
 
+def _load_chain_opt(opt_load: str, params, log_fn: Callable):
+    """Restore a distillation Adam-moments snapshot (segment chaining).
+
+    Returns the portable ``{'count','mu','nu'}`` dict for
+    ``train.finetune_chain(init_opt_state=...)`` or None. NOTE the CPU
+    A/B (``scripts/diag_segment_descent.py``, examples/
+    diag_segment_descent.json) measured params-only chaining as only a
+    mild penalty vs a single run and Adam chaining as slightly WORSE
+    (the fresh-moment re-warmup helps more than trajectory continuity);
+    the GHZ-8 descent collapse was a minibatch-noise floor, fixed by
+    ``chain_accum`` coverage, not by opt chaining. Kept for A/B use.
+    """
+    if not opt_load:
+        return None
+    from ddqst_tpu.utils import checkpoint as ckpt
+
+    tree = ckpt.restore_params(
+        opt_load, training.chain_opt_template(params)
+    )
+    log_fn(f"chained distillation Adam state from {opt_load}")
+    return tree
+
+
+def _save_chain_opt(opt_save: str, ft_info, log_fn: Callable) -> None:
+    """Persist (or drop) the final Adam moments from a distillation run.
+
+    Always strips ``final_opt_state`` out of ``ft_info`` so results dicts
+    and JSONL writers never see the params-sized moments pytree.
+    """
+    if ft_info is None:
+        return
+    tree = ft_info.pop("final_opt_state", None)
+    if opt_save and tree is not None:
+        from ddqst_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_params(opt_save, tree)
+        log_fn(f"saved distillation Adam state to {opt_save}")
+
+
 @dataclasses.dataclass
 class GeneratedData:
     bits: jnp.ndarray          # [B_bases, shots, N] int8
@@ -223,6 +262,7 @@ def _run_shadow_experiment(
     cfg: ExperimentConfig, data: GeneratedData, k_train, k_sample,
     log_fn: Callable, mesh=None, params_load: str = "",
     params_save: str = "", stop_after: str = "",
+    opt_load: str = "", opt_save: str = "",
 ) -> dict:
     """Large-N path: train on per-qubit basis labels, evaluate generated
     distributions against the EXACT Born probabilities of the clean target
@@ -247,7 +287,7 @@ def _run_shadow_experiment(
     from ddqst_tpu.ops.mle import bits_to_counts
 
     n = cfg.data.num_qubits
-    ft_info = None
+    ft_info, ft_losses = None, None
     b_bases, s, _ = data.bits.shape
     x = data.bits.reshape(b_bases * s, n)
     labels = jnp.repeat(
@@ -322,7 +362,10 @@ def _run_shadow_experiment(
             val_counts=val_counts,
             val_patience=cfg.train.chain_val_patience,
             basis_labels=labels_arr,
+            accum=cfg.train.chain_accum,
+            init_opt_state=_load_chain_opt(opt_load, state.params, log_fn),
         )
+        _save_chain_opt(opt_save, ft_info, log_fn)
         msg = (
             f"[{cfg.name}] chain CE (all shadow bases) "
             f"{ft_info['train_ce_before']:.5f} -> "
@@ -344,9 +387,12 @@ def _run_shadow_experiment(
         # Segment mode (mirrors the full route): training-only result;
         # a later params_load run with chain_finetune_steps=0 does the
         # generation/metrics tail. Skips the ~500k-bitstring transformer
-        # generation per distillation segment at N=10.
+        # generation per distillation segment at N=10. ft_losses carries
+        # the per-step chain-CE trajectory (parity with the full route —
+        # the saturation-curve evidence for scaling studies).
         return {
             "losses": np.asarray(losses),
+            "ft_losses": None if ft_info is None else np.asarray(ft_losses),
             "ft_info": ft_info,
         }
     shots_gen = max(cfg.data.shots_infer, 1)
@@ -440,6 +486,8 @@ def run_experiment(
     params_save: str = "",
     target_cache: str = "",
     stop_after: str = "",
+    opt_load: str = "",
+    opt_save: str = "",
 ) -> dict:
     """Full reference-parity run. Returns a metrics dict.
 
@@ -454,9 +502,14 @@ def run_experiment(
     wedge-prone long dispatch loop into short-lived processes of ~160
     dispatches each (the relay-proven loop length — the 960-dispatch
     GHZ-8 v2 loop wedged mid-run; CLAUDE.md dispatch-shape protocol),
-    chaining ``params_save`` → ``params_load``. The distillation
-    optimizer state resets per segment (fresh Adam moments at constant
-    lr — a brief re-warmup, no measured quality cost at these budgets).
+    chaining ``params_save`` → ``params_load``.
+
+    ``opt_load``/``opt_save``: orbax snapshot paths for the DISTILLATION
+    Adam moments, chained the same way (optional — the CPU A/B in
+    ``scripts/diag_segment_descent.py`` measured params-only chaining as
+    a mild penalty and moment chaining as slightly worse; the GHZ-8
+    descent collapse was a minibatch-noise floor, fixed by
+    ``train.chain_accum`` coverage, VERDICT r3 weak #1 diagnosis).
 
     ``target_cache`` (full route, ``chain_target='mle'``): npz path for
     the MLE-projected Born-probs target — computed once by the first
@@ -480,7 +533,7 @@ def run_experiment(
         return _run_shadow_experiment(
             cfg, data, k_train, k_sample, log_fn, mesh=mesh,
             params_load=params_load, params_save=params_save,
-            stop_after=stop_after,
+            stop_after=stop_after, opt_load=opt_load, opt_save=opt_save,
         )
     x, basis = flatten_for_training(data.bits, data.basis_idx)
 
@@ -600,7 +653,10 @@ def run_experiment(
                 steps_per_call=cfg.train.chain_steps_per_call,
                 val_counts=val_counts,
                 val_patience=cfg.train.chain_val_patience,
+                accum=cfg.train.chain_accum,
+                init_opt_state=_load_chain_opt(opt_load, state.params, log_fn),
             )
+            _save_chain_opt(opt_save, ft_info, log_fn)
             # Full-grid CE (not minibatch estimates — those conflate
             # subset noise with descent when chain_basis_batch is set).
             msg = (

@@ -180,6 +180,18 @@ def eval_loss(
     return jnp.mean(losses)
 
 
+def chain_opt_template(params):
+    """Zero-valued portable Adam-state pytree for :func:`finetune_chain`.
+
+    Matches the structure of ``info['final_opt_state']`` so callers can
+    build an orbax restore template from params alone (segment chaining:
+    the GHZ-8 campaign measured a 13x chain-CE descent collapse at the
+    first segment boundary when only params were chained).
+    """
+    z = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return {"count": jnp.zeros((), jnp.int32), "mu": z, "nu": z}
+
+
 def finetune_chain(
     state: TrainState,
     target_counts,
@@ -196,6 +208,8 @@ def finetune_chain(
     val_patience: int = 4,
     basis_labels=None,
     val_every_equiv: float = 2.0,
+    accum: int = 1,
+    init_opt_state=None,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -268,6 +282,27 @@ def finetune_chain(
         chunk and the stop fires at step 0 — measured live at GHZ-7,
         where per-chunk evals stopped a perfectly-descending chain at
         step 0 twice.
+      accum: gradient-accumulation factor for minibatched runs: each Adam
+        step averages the loss/gradient over ``accum`` disjoint
+        ``basis_batch``-sized minibatches (one ``accum*basis_batch``
+        draw without replacement), cutting gradient variance ``accum``-fold
+        while every individual chain dispatch stays at the relay-proven
+        ``basis_batch * 2^N`` grid rows. This is how per-step basis
+        coverage is raised at N >= 8, where a single 256-basis dispatch
+        (65,536 grid rows) exceeds the worker's proven program size: the
+        GHZ-8 campaign hit a minibatch-noise floor at 1% coverage/step
+        (chain-CE descent collapsed 13x between equal-budget segments).
+        Per-dispatch walltime grows ~accum-fold — lower ``steps_per_call``
+        to compensate.
+      init_opt_state: optional portable Adam state (the
+        ``{'count', 'mu', 'nu'}`` dict returned in
+        ``info['final_opt_state']``) to resume optimisation from — chains
+        Adam moments across warm-started segments instead of resetting
+        them at every boundary. Only meaningful without ``val_counts``
+        (best-params selection would desynchronise params and moments).
+        Measured on CPU (scripts/diag_segment_descent.py) as slightly
+        WORSE than a fresh-moment restart in the noise-floor regime —
+        provided for A/B studies, not the campaign default.
       basis_labels: optional ``[B, N]`` per-qubit basis labels (the shadow
         route's conditioning form). When given, the chain is distilled
         over exactly those B sampled bases instead of the canonical 3^N
@@ -280,8 +315,10 @@ def finetune_chain(
       ``(new_state, losses [steps_run], info)`` — new_state carries the
       selected params. ``info`` always holds ``train_ce_before`` /
       ``train_ce_after`` (FULL-grid CE vs the target, so minibatched runs
-      log real descent, not subset noise); with ``val_counts`` it adds
-      ``val_history`` [(step, ce)], ``best_step`` and ``best_val_ce``.
+      log real descent, not subset noise) and ``final_opt_state`` (the
+      portable Adam-moments dict for segment chaining; see
+      ``init_opt_state``); with ``val_counts`` it adds ``val_history``
+      [(step, ce)], ``best_step`` and ``best_val_ce``.
     """
     import jax.numpy as jnp
 
@@ -363,17 +400,45 @@ def finetune_chain(
     # across calls; the per-chunk program is identical. Lower
     # ``steps_per_call`` further for expensive per-step models.
 
+    accum = max(int(accum), 1)
+    if minibatched and accum * basis_batch > num_bases:
+        # Without-replacement super-draw must fit the basis set; a full
+        # pass is just the unminibatched loss.
+        accum = max(num_bases // basis_batch, 1)
+
     @functools.partial(jax.jit, static_argnames=("length",))
     def run_chunk(params, opt_state, k0, length):
         def body(carry, ks):
             params, opt_state = carry
-            bidx = (
-                jax.random.choice(
-                    ks, num_bases, (basis_batch,), replace=False
+            if minibatched and accum > 1:
+                # Gradient accumulation: one accum*basis_batch draw
+                # without replacement, averaged over accum sub-chunks of
+                # the relay-proven basis_batch*2^N dispatch rows each.
+                sel = jax.random.choice(
+                    ks, num_bases, (accum, basis_batch), replace=False
                 )
-                if minibatched else None
-            )
-            loss, grads = jax.value_and_grad(loss_fn)(params, bidx)
+
+                def acc(c, bidx):
+                    loss, grads = jax.value_and_grad(loss_fn)(params, bidx)
+                    return (
+                        c[0] + loss,
+                        jax.tree_util.tree_map(jnp.add, c[1], grads),
+                    ), None
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (lsum, gsum), _ = jax.lax.scan(
+                    acc, (jnp.zeros(()), zero), sel
+                )
+                loss = lsum / accum
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            else:
+                bidx = (
+                    jax.random.choice(
+                        ks, num_bases, (basis_batch,), replace=False
+                    )
+                    if minibatched else None
+                )
+                loss, grads = jax.value_and_grad(loss_fn)(params, bidx)
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(params, updates), opt_state), loss
 
@@ -383,7 +448,17 @@ def finetune_chain(
         return params, opt_state, losses
 
     params = state.params
-    opt_state = tx.init(params)
+    if init_opt_state is None:
+        opt_state = tx.init(params)
+    else:
+        fresh = tx.init(params)
+        opt_state = (
+            fresh[0]._replace(
+                count=jnp.asarray(init_opt_state["count"]),
+                mu=init_opt_state["mu"],
+                nu=init_opt_state["nu"],
+            ),
+        ) + tuple(fresh[1:])
     k0 = jax.random.key(0) if key is None else key
     all_losses = []
     done = 0
@@ -396,7 +471,9 @@ def finetune_chain(
         best_ce = full_grid_ce(params, val)
         best_step = 0
         val_history.append((0, best_ce))
-    equiv_per_step = (basis_batch / num_bases) if minibatched else 1.0
+    equiv_per_step = (
+        (accum * basis_batch / num_bases) if minibatched else 1.0
+    )
     since_eval = 0.0
     while done < steps:
         length = min(steps_per_call, steps - done)
@@ -425,6 +502,13 @@ def finetune_chain(
             val_history=val_history, best_step=best_step, best_val_ce=best_ce
         )
     info["train_ce_after"] = full_grid_ce(params, target)
+    # Portable Adam state for segment chaining (final-step moments; with
+    # val selection these correspond to the LAST params, not best_params —
+    # chaining is only meaningful for val-free campaign segments).
+    adam = opt_state[0]
+    info["final_opt_state"] = {
+        "count": adam.count, "mu": adam.mu, "nu": adam.nu,
+    }
     losses = (
         jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,))
     )

@@ -19,9 +19,21 @@ params_save=..., stop_after='distill')`):
   eval:       warm start from the last segment, 0 distillation steps,
               full generation/estimator/metrics tail -> JSONL row
 
-Adam moments reset at each segment boundary (constant lr, brief
-re-warmup); the minibatch key is salted per segment so segments see
-different basis subsets.
+The round-3 campaign's 13x chain-CE descent collapse at the first
+segment boundary (VERDICT r3 weak #1) was diagnosed on CPU
+(``scripts/diag_segment_descent.py``) as a minibatch-gradient NOISE
+FLOOR, not the Adam reset: params-only chaining costs little, Adam
+chaining is slightly worse, and 4x per-step basis coverage (gradient
+accumulation) out-descends every equal-coverage protocol. ``--accum``
+is therefore the campaign lever (VERDICT r3 next-#2); ``--opt_chain``
+enables moment chaining for A/B runs; ``--lr_decay`` lowers the floor
+geometrically per segment. The minibatch key is salted per segment so
+segments see different basis subsets.
+
+Relay protocol (VERDICT r3 weak #2): a failed segment is retried up to
+``--retries`` times after the >=60 s client cooldown, each relaunch
+preceded by a tiny-matmul health-check child; a RESOURCE_EXHAUSTED or
+worker crash no longer ends the campaign at 03:00.
 
 Usage:
   env PYTHONPATH=/root/repo:/root/.axon_site python \
@@ -34,13 +46,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 SCRIPTS = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(SCRIPTS)
 sys.path.insert(0, SCRIPTS)
+
+from relay_protocol import run_with_retries  # noqa: E402
 
 
 def child(args) -> None:
@@ -56,6 +69,17 @@ def child(args) -> None:
         _xb._backend_factories.pop("axon", None)
         _xb._topology_factories.pop("axon", None)
         jax.config.update("jax_platforms", "cpu")
+    if args.child_role == "probe":
+        # Relay health check: one tiny matmul, materialised. Exits 0 only
+        # if the device path works end to end.
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128), jnp.float32)
+        print(f"probe ok: {float(jnp.sum(x @ x)):.0f}", flush=True)
+        return
+    from relay_protocol import maybe_inject_failure
+
+    maybe_inject_failure(args.child_role)
     import dataclasses
 
     from ddqst_tpu import pipeline
@@ -66,15 +90,16 @@ def child(args) -> None:
     )
     seg = args.child_segment
 
-    def snap(i: int) -> str:
+    def snap(i: int, kind: str = "params") -> str:
         name = "ce" if i < 0 else f"seg{i}"
-        return os.path.join(args.workdir, f"{tag}_{name}_params")
+        return os.path.join(args.workdir, f"{tag}_{name}_{kind}")
 
     # Segment 0 warm-starts from the CE snapshot when one exists (the
     # 'ce' role ran first); legacy campaigns without one do CE inline.
     prev = snap(seg - 1) if (seg > 0 or os.path.exists(snap(-1))) else ""
     cur = snap(seg)
     cache = os.path.join(args.workdir, f"{tag}_target.npz")
+    steps_log = os.path.join(args.workdir, f"{tag}_segments.jsonl")
     if args.ce_epochs:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, num_epochs=args.ce_epochs,
@@ -93,20 +118,46 @@ def child(args) -> None:
         print("== ce segment done", flush=True)
         return
     if args.child_role == "distill":
-        cfg = cfg.replace(train=dataclasses.replace(
-            cfg.train,
+        overrides = dict(
             chain_finetune_steps=args.steps_per_segment,
             chain_key_salt=cfg.train.chain_key_salt + seg,
-        ))
+            chain_accum=args.accum,
+        )
+        if args.chain_lr or args.lr_decay != 1.0:
+            base_lr = args.chain_lr or cfg.train.chain_lr
+            overrides["chain_lr"] = base_lr * args.lr_decay**seg
+        if args.steps_per_call:
+            overrides["chain_steps_per_call"] = args.steps_per_call
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
+        # Adam-moment chaining is opt-in (--opt_chain, A/B use): the CPU
+        # diagnosis measured fresh moments per segment as slightly BETTER
+        # in the noise-floor regime. Segment 0 (or a resume whose
+        # predecessor predates opt snapshots) starts fresh either way.
+        prev_opt = snap(seg - 1, "opt") if (args.opt_chain and seg > 0) else ""
+        if prev_opt and not os.path.exists(prev_opt):
+            prev_opt = ""
         res = pipeline.run_experiment(
             cfg, seed=args.seed, params_load=prev, params_save=cur,
             target_cache=cache, stop_after="distill",
+            opt_load=prev_opt,
+            opt_save=snap(seg, "opt") if args.opt_chain else "",
         )
         info = res.get("ft_info") or {}
+        steps_run = (
+            0 if res.get("ft_losses") is None else len(res["ft_losses"])
+        )
+        with open(steps_log, "a") as f:
+            f.write(json.dumps({
+                "segment": seg, "steps_run": steps_run,
+                "lr": cfg.train.chain_lr, "accum": args.accum,
+                "ce_before": info.get("train_ce_before"),
+                "ce_after": info.get("train_ce_after"),
+            }) + "\n")
         print(
             f"== segment {seg} done: chain CE "
             f"{info.get('train_ce_before', float('nan')):.5f} -> "
-            f"{info.get('train_ce_after', float('nan')):.5f}",
+            f"{info.get('train_ce_after', float('nan')):.5f} "
+            f"({steps_run} steps @ accum {args.accum})",
             flush=True,
         )
         return
@@ -116,9 +167,16 @@ def child(args) -> None:
     ))
     t0 = time.perf_counter()
     res = pipeline.run_experiment(cfg, seed=args.seed, params_load=prev)
+    actual_steps = None
+    if os.path.exists(steps_log):
+        with open(steps_log) as f:
+            actual_steps = sum(
+                json.loads(line).get("steps_run", 0) for line in f
+            )
     rec = {
         "tag": f"{tag}_seg{seg}x{args.steps_per_segment}",
         "num_qubits": cfg.data.num_qubits,
+        "distill_steps_actual": actual_steps,
         "fidelity": round(res["fidelity"], 5),
         "raw_fidelity": round(res["raw_fidelity"], 5),
         "raw_fidelity_mitigated": (
@@ -157,11 +215,40 @@ def main():
     ap.add_argument("--cooldown", type=int, default=60,
                     help="seconds between processes (relay client protocol)")
     ap.add_argument("--ce_epochs", type=int, default=0,
-                    help="override CE epochs in segment 0 (0 = keep the "
-                    "config's budget; used by probes and CPU smoke tests)")
+                    help="override CE epochs for every child role (the "
+                    "dedicated ce segment normally trains CE; segment 0 "
+                    "only trains CE on legacy campaigns without a CE "
+                    "snapshot); used by probes and CPU smoke tests")
+    ap.add_argument("--chain_lr", type=float, default=0.0,
+                    help="override the config's distillation lr (0 = keep)")
+    ap.add_argument("--lr_decay", type=float, default=1.0,
+                    help="geometric per-segment lr decay factor: segment i "
+                    "runs at chain_lr * lr_decay**i (lowers the minibatch-"
+                    "SGD noise floor as segments accumulate)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation factor (chain_accum): each "
+                    "Adam step averages accum disjoint basis minibatches; "
+                    "per-dispatch grid size is unchanged but walltime "
+                    "grows ~accum-fold — lower --steps_per_call to match")
+    ap.add_argument("--steps_per_call", type=int, default=0,
+                    help="override chain_steps_per_call (0 = keep config)")
+    ap.add_argument("--opt_chain", action="store_true",
+                    help="chain distillation Adam moments across segments "
+                    "(A/B use; measured slightly worse than fresh moments "
+                    "in the noise-floor regime)")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="automatic relaunches of a failed segment (after "
+                    "cooldown + health check) before giving up")
+    ap.add_argument("--segment_timeout", type=int, default=0,
+                    help="kill a segment child after this many seconds and "
+                    "retry (0 = no timeout). A wedged relay dispatch shows "
+                    "flat CPU forever, so set this to expected segment "
+                    "wall + >=15 min (killed-mid-compile programs still "
+                    "land in the worker cache, so the retry resumes past "
+                    "the compile)")
     # Internal: child invocation.
-    ap.add_argument("--child_role", choices=["ce", "distill", "eval"],
-                    default="")
+    ap.add_argument("--child_role",
+                    choices=["ce", "distill", "eval", "probe"], default="")
     ap.add_argument("--child_segment", type=int, default=0)
     args = ap.parse_args()
     if args.child_role:
@@ -175,7 +262,13 @@ def main():
         "--workdir", args.workdir, "--out", args.out,
         "--steps_per_segment", str(args.steps_per_segment),
         "--ce_epochs", str(args.ce_epochs),
+        "--chain_lr", str(args.chain_lr),
+        "--lr_decay", str(args.lr_decay),
+        "--accum", str(args.accum),
+        "--steps_per_call", str(args.steps_per_call),
     ]
+    if args.opt_chain:
+        base.append("--opt_chain")
     for seg in range(args.start_segment, args.segments + 1):
         if seg < 0:
             role, seg_arg = "ce", 0
@@ -185,13 +278,15 @@ def main():
         else:
             role, seg_arg = "distill", seg
         cmd = base + ["--child_role", role, "--child_segment", str(seg_arg)]
-        print(f"[segments] launching {role} segment {seg} "
-              f"({time.strftime('%H:%M:%S')})", flush=True)
-        rc = subprocess.call(cmd)
-        if rc != 0:
-            print(f"[segments] segment {seg} FAILED (rc={rc}); resume with "
-                  f"--start_segment {seg}", flush=True)
-            sys.exit(rc)
+        ok = run_with_retries(
+            cmd, base + ["--child_role", "probe"], f"{role} segment {seg}",
+            retries=args.retries, cooldown=args.cooldown,
+            timeout=args.segment_timeout,
+        )
+        if not ok:
+            print(f"[segments] segment {seg} FAILED after {args.retries} "
+                  f"retries; resume with --start_segment {seg}", flush=True)
+            sys.exit(1)
         time.sleep(args.cooldown)
     print("[segments] campaign complete", flush=True)
 

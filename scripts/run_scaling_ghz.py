@@ -26,10 +26,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def coverage_steps(num_qubits: int, basis_batch: int, accum: int = 1,
+                   epochs_equiv: float = 94.0) -> int:
+    """Distillation budget from GRID COVERAGE, not per-N constants.
+
+    The quantity that transfers across N is grid-equivalent epochs
+    (steps * effective_batch / 3^N), not steps: the N=7 closure ran 93.6
+    epochs (1600 steps at 128/2187) while the under-budgeted GHZ-8 v1 ran
+    only 15.6 (1600 at 64/6561) and its chain-CE descent shrank
+    proportionally (VERDICT r3 weak #3). Default epochs_equiv=94 is the
+    N=7-validated operating point; N=6's hand value (800 steps = 105
+    epochs at 96/729) sits within 12% of it. ``accum`` is
+    ``TrainConfig.chain_accum`` (gradient accumulation), which multiplies
+    effective per-step coverage without growing the per-dispatch grid.
+    """
+    return int(round(epochs_equiv * 3**num_qubits / (basis_batch * accum)))
+
+
 def auto_recipe(cfg, *, basis_batch: int = 0, steps_per_call: int = 25,
                 epochs: int | None = None, target: str = "counts",
                 val_patience: int = 4, val_fraction: float = 0.15,
-                steps: int = 800):
+                steps: int = 800, accum: int = 1):
     """THE automated distillation recipe (one config across N).
 
     Generous step budget at a hot learning rate; the held-out step
@@ -47,12 +64,35 @@ def auto_recipe(cfg, *, basis_batch: int = 0, steps_per_call: int = 25,
         chain_finetune_steps=steps, chain_lr=1e-3,
         chain_val_fraction=val_fraction, chain_val_patience=val_patience,
         chain_basis_batch=basis_batch, chain_steps_per_call=steps_per_call,
-        chain_target=target,
+        chain_target=target, chain_accum=accum,
     ))
 
 
 def experiments():
     from run_parity_suite import quality_cfg
+
+    # cpu_tiny: driver-test config (main() skips it unless --only): N=2
+    # bell at toy budgets, so tests/test_campaign_drivers.py can run the
+    # segmented campaign drivers end to end on CPU (injected failures,
+    # retry protocol, opt/params chaining).
+    from ddqst_tpu.config import get_preset
+
+    tiny = get_preset("special_states").replace(name="cpu_tiny")
+    tiny = tiny.replace(
+        model=tiny.model.__class__(
+            embed_dim=16, hidden_dim=32, num_blocks=1),
+        diffusion=tiny.diffusion.__class__(
+            num_timesteps=10, schedule="cosine", sampler="renoise"),
+        train=tiny.train.__class__(
+            batch_size=256, learning_rate=1e-3, optimizer="adam",
+            num_epochs=2, log_every=0, eval_every=0,
+            chain_finetune_steps=4, chain_lr=1e-3,
+            chain_steps_per_call=2, chain_target="mle"),
+        data=tiny.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="ideal",
+            shots_train=400, shots_infer=500),
+    )
+    yield ("cpu_tiny", tiny, "CPU driver-test config (not a TPU experiment)")
 
     # (tag, cfg, note). shots_infer shrinks with N to bound the generated
     # sample volume (bases x shots_infer): 27x50k / 81x30k / 243x20k.
@@ -289,6 +329,23 @@ def experiments():
     )
     yield ("ghz8_mle_hot_s4800", cfg8s,
            "GHZ-8: 4800-step distillation (bounded loop length)")
+    # --- RQC-8: the generic-state ladder at the N=8 frontier --------------
+    # (VERDICT r3 next-#6.) Budget from the coverage rule, not a hand
+    # constant: chain_accum=4 raises per-step coverage to 256/6561 = 3.9%
+    # (the regime that closed N=7) while each accumulated sub-chunk keeps
+    # the relay-proven 16,384-row dispatch grid; coverage_steps then gives
+    # the 94-epoch budget directly. Run via run_frontier_segments.py
+    # (--accum 4) so the dispatch loop stays segmented.
+    rqc8 = auto_recipe(quality_cfg(
+        "rqc8_mle_hot", num_qubits=8, state="rqc", shots_train=2000,
+        shots_infer=3000, noise="readout",
+    ), basis_batch=64, epochs=40, steps_per_call=10, target="mle",
+        val_fraction=0.0, steps=coverage_steps(8, 64, accum=4), accum=4)
+    rqc8 = rqc8.replace(diffusion=rqc8.diffusion.__class__(
+        num_timesteps=100, schedule="cosine", sampler="renoise",
+        gen_tables_once=True))
+    yield ("rqc8_mle_hot", rqc8,
+           "RQC-8 (depth 5): 6561 bases, coverage-rule budget, accum=4")
 
 
 def main():
@@ -317,6 +374,8 @@ def main():
     for tag, cfg, note in experiments():
         if (args.only and args.only != tag) or (tag in done and not args.probe):
             continue
+        if tag == "cpu_tiny" and args.only != tag:
+            continue  # driver-test config, never a TPU experiment
         if args.probe:
             import dataclasses
             tr = cfg.train

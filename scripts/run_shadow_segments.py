@@ -40,13 +40,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 SCRIPTS = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(SCRIPTS)
 sys.path.insert(0, SCRIPTS)
+
+from relay_protocol import maybe_inject_failure, run_with_retries  # noqa: E402
 
 
 def _cfg_for(args, *, distill_steps: int, distill_salt: int):
@@ -77,6 +78,14 @@ def child(args) -> None:
         _xb._backend_factories.pop("axon", None)
         _xb._topology_factories.pop("axon", None)
         jax.config.update("jax_platforms", "cpu")
+    if args.child_role == "probe":
+        # Relay health check: one tiny matmul, materialised.
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128), jnp.float32)
+        print(f"probe ok: {float(jnp.sum(x @ x)):.0f}", flush=True)
+        return
+    maybe_inject_failure(args.child_role)
     from ddqst_tpu import pipeline
 
     tag, seg = args.tag, args.child_segment
@@ -85,6 +94,7 @@ def child(args) -> None:
         name = "ce" if i < 0 else f"seg{i}"
         return os.path.join(args.workdir, f"{tag}_{name}_params")
 
+    steps_log = os.path.join(args.workdir, f"{tag}_segments.jsonl")
     if args.child_role == "ce":
         cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
         pipeline.run_experiment(
@@ -103,10 +113,23 @@ def child(args) -> None:
             params_save=snap(seg), stop_after="distill",
         )
         info = res.get("ft_info") or {}
+        # Actual steps run (held-out early stop can truncate a segment;
+        # the eval record reports the sum, not the nominal count).
+        steps_run = (
+            0 if res.get("ft_losses") is None else len(res["ft_losses"])
+        )
+        with open(steps_log, "a") as f:
+            f.write(json.dumps({
+                "segment": seg, "steps_run": steps_run,
+                "ce_before": info.get("train_ce_before"),
+                "ce_after": info.get("train_ce_after"),
+                "best_step": info.get("best_step"),
+            }) + "\n")
         print(
             f"== segment {seg} done: chain CE "
             f"{info.get('train_ce_before', float('nan')):.5f} -> "
-            f"{info.get('train_ce_after', float('nan')):.5f}",
+            f"{info.get('train_ce_after', float('nan')):.5f} "
+            f"({steps_run} steps run)",
             flush=True,
         )
         return
@@ -114,11 +137,18 @@ def child(args) -> None:
     cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
     t0 = time.perf_counter()
     res = pipeline.run_experiment(cfg, seed=args.seed, params_load=snap(seg))
+    actual_steps = None
+    if os.path.exists(steps_log):
+        with open(steps_log) as f:
+            actual_steps = sum(
+                json.loads(line).get("steps_run", 0) for line in f
+            )
     rec = {
         "tag": f"{tag}_seg{seg + 1}x{args.steps_per_segment}",
         "epochs": args.epochs,
         "model": [args.embed, args.hidden, args.blocks, args.heads],
         "distill_steps": (seg + 1) * args.steps_per_segment,
+        "distill_steps_actual": actual_steps,
         "max_bases": args.max_bases,
         "seed": args.seed,
         "mean_tv_to_target": round(res["mean_tv_to_target"], 5),
@@ -166,9 +196,15 @@ def main():
                          "must exist)")
     ap.add_argument("--cooldown", type=int, default=60,
                     help="seconds between processes (relay client protocol)")
+    ap.add_argument("--retries", type=int, default=2,
+                    help="automatic relaunches of a failed segment (after "
+                    "cooldown + health check) before giving up")
+    ap.add_argument("--segment_timeout", type=int, default=0,
+                    help="kill a segment child after this many seconds and "
+                    "retry (0 = none); set to expected wall + >=15 min")
     # Internal: child invocation.
-    ap.add_argument("--child_role", choices=["ce", "distill", "eval"],
-                    default="")
+    ap.add_argument("--child_role",
+                    choices=["ce", "distill", "eval", "probe"], default="")
     ap.add_argument("--child_segment", type=int, default=0)
     args = ap.parse_args()
     if args.child_role:
@@ -200,13 +236,17 @@ def main():
         else:
             role, seg_arg = "distill", seg
         cmd = base + ["--child_role", role, "--child_segment", str(seg_arg)]
-        print(f"[shadow-segments] launching {role} segment {seg} "
-              f"({time.strftime('%H:%M:%S')})", flush=True)
-        rc = subprocess.call(cmd)
-        if rc != 0:
-            print(f"[shadow-segments] segment {seg} FAILED (rc={rc}); "
-                  f"resume with --start_segment {seg}", flush=True)
-            sys.exit(rc)
+        ok = run_with_retries(
+            cmd, base + ["--child_role", "probe"],
+            f"{role} segment {seg}", retries=args.retries,
+            cooldown=args.cooldown, timeout=args.segment_timeout,
+            log_prefix="[shadow-segments]",
+        )
+        if not ok:
+            print(f"[shadow-segments] segment {seg} FAILED after "
+                  f"{args.retries} retries; resume with --start_segment "
+                  f"{seg}", flush=True)
+            sys.exit(1)
         time.sleep(args.cooldown)
     print("[shadow-segments] campaign complete", flush=True)
 

@@ -8,11 +8,16 @@ relay — CLAUDE.md wedge modes).
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
 from ddqst_tpu import pipeline
+from ddqst_tpu import train as training
 from ddqst_tpu.config import get_preset
+from ddqst_tpu.models import build_model
+from ddqst_tpu.ops import mle
+from ddqst_tpu.ops.schedules import make_schedule
 
 
 def _tiny_mle_cfg(name):
@@ -147,3 +152,103 @@ def test_segmented_distillation_shadow_route(tmp_path):
     )
     assert "mean_tv_to_target" in res_eval
     assert 0.0 <= res_eval["classical_fidelity"] <= 1.0
+
+
+# --- Descent continuity across segment boundaries (VERDICT r3 weak #6) ---
+# The round-3 GHZ-8 campaign's chain-CE descent collapsed 13x at the first
+# segment boundary; the CPU diagnosis (scripts/diag_segment_descent.py)
+# attributed it to a minibatch-noise floor, with params-only chaining
+# costing only a mild penalty vs a single run. These tests pin that
+# property at CPU scale so a real boundary-induced collapse is caught.
+
+
+def _distill_setup():
+    """CE-trained GHZ-3 state + counts target, shared by the arms."""
+    cfg = get_preset("rqc").replace(name="continuity")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_encoding="token", embed_dim=16, hidden_dim=32,
+            num_blocks=1),
+        diffusion=cfg.diffusion.__class__(
+            num_timesteps=12, schedule="cosine", sampler="renoise"),
+        train=cfg.train.__class__(
+            batch_size=512, learning_rate=1e-3, optimizer="adam",
+            num_epochs=3, log_every=0, eval_every=0),
+        data=cfg.data.__class__(
+            num_qubits=3, state_type="ghz", noise_type="readout",
+            shots_train=300, shots_infer=300),
+    )
+    key = jax.random.key(0)
+    rng = np.random.default_rng(0)
+    k_data, k_train, _ = jax.random.split(key, 3)
+    data = pipeline.generate_training_data(cfg, k_data, rng)
+    x, basis = pipeline.flatten_for_training(data.bits, data.basis_idx)
+    schedule = make_schedule(cfg.diffusion.schedule,
+                             cfg.diffusion.num_timesteps)
+    model = build_model(cfg.model, 3, cfg.diffusion.num_timesteps)
+    state, _ = training.fit(k_train, model, x, basis, cfg.train, schedule)
+    target = mle.bits_to_counts(data.bits)
+    return cfg, state, target, schedule, k_train
+
+
+def _distill(cfg, state, target, schedule, k_train, *, steps, salt,
+             accum=1, init_opt=None):
+    return training.finetune_chain(
+        state, target, schedule, 3, steps=steps, learning_rate=1e-3,
+        exact=cfg.diffusion.exact, basis_batch=4,
+        key=jax.random.fold_in(k_train, 0xD157 + salt),
+        steps_per_call=20, accum=accum, init_opt_state=init_opt,
+    )
+
+
+def test_segmented_descent_continuity():
+    """Params-only 2xS chaining descends within a factor of the single-run
+    2S-step descent, and segment 2 keeps descending (no boundary collapse
+    beyond the noise-floor regime's natural diminishing returns)."""
+    cfg, state, target, schedule, k_train = _distill_setup()
+    args = (cfg, state, target, schedule, k_train)
+
+    _, _, info_single = _distill(*args, steps=80, salt=1)
+    d_single = info_single["train_ce_before"] - info_single["train_ce_after"]
+
+    st1, _, i1 = _distill(*args, steps=40, salt=1)
+    _, _, i2 = _distill(cfg, st1, target, schedule, k_train,
+                        steps=40, salt=2)
+    d_seg = (i1["train_ce_before"] - i1["train_ce_after"]) + (
+        i2["train_ce_before"] - i2["train_ce_after"])
+
+    assert d_single > 0 and d_seg > 0
+    # Segment 2 must make real progress (the round-3 failure signature was
+    # a 13x per-segment collapse; natural diminishing returns at this
+    # budget measure well under 3x).
+    assert i2["train_ce_before"] - i2["train_ce_after"] > 0
+    assert d_seg > 0.5 * d_single, (d_seg, d_single)
+
+
+def test_accum_raises_coverage_and_descends_further():
+    """chain_accum=4 at equal step count descends at least as far as
+    accum=1 (the measured noise-floor fix, diag_segment_descent.json:
+    0.223 vs 0.168 at GHZ-5)."""
+    cfg, state, target, schedule, k_train = _distill_setup()
+    args = (cfg, state, target, schedule, k_train)
+    _, _, i1 = _distill(*args, steps=40, salt=1)
+    _, _, i4 = _distill(*args, steps=40, salt=1, accum=4)
+    d1 = i1["train_ce_before"] - i1["train_ce_after"]
+    d4 = i4["train_ce_before"] - i4["train_ce_after"]
+    assert d4 > 0.9 * d1, (d4, d1)
+
+
+def test_chain_opt_state_roundtrip():
+    """final_opt_state is portable: chaining it into a continuation is
+    accepted and bit-compatible with the template from chain_opt_template."""
+    cfg, state, target, schedule, k_train = _distill_setup()
+    st1, _, i1 = _distill(cfg, state, target, schedule, k_train,
+                          steps=10, salt=1)
+    opt = i1["final_opt_state"]
+    tmpl = training.chain_opt_template(st1.params)
+    assert jax.tree_util.tree_structure(opt) == (
+        jax.tree_util.tree_structure(tmpl))
+    assert int(opt["count"]) == 10
+    _, _, i2 = _distill(cfg, st1, target, schedule, k_train,
+                        steps=10, salt=2, init_opt=opt)
+    assert int(i2["final_opt_state"]["count"]) == 20
