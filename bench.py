@@ -31,6 +31,25 @@ def _r5(x):
     return None if x is None or math.isnan(x) else round(x, 5)
 
 
+def _throughput(fn, work: float, repeats: int = 3):
+    """min/median throughput over in-process repeats (VERDICT r3 weak #4:
+    single-sample throughputs swung ~25% run to run and only the best was
+    quoted; the median is the reproducible headline, the min the floor).
+
+    ``fn()`` must end with a scalar materialisation (reliable through the
+    TPU relay, unlike block_until_ready) and is assumed already warm.
+    Returns (median, min, all) throughputs = work/dt.
+    """
+    import statistics
+
+    tps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        tps.append(work / (time.perf_counter() - t0))
+    return statistics.median(tps), min(tps), tps
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
     import jax
@@ -66,31 +85,39 @@ def main() -> None:
     state, loss = training._run_epoch(state, key, bits, basis, schedule, batch)
     _ = float(loss)  # warm: forces compile + one full epoch
     n_epochs = 5
-    t0 = time.perf_counter()
-    for e in range(n_epochs):
-        state, loss = training._run_epoch(
-            state, jax.random.fold_in(key, e), bits, basis, schedule, batch
-        )
-    _ = float(loss)
-    dt = time.perf_counter() - t0
-    train_steps_per_sec = steps_per_epoch * n_epochs / dt
+
+    def _train_rep():
+        nonlocal state
+        loss = None
+        for e in range(n_epochs):
+            state, loss = training._run_epoch(
+                state, jax.random.fold_in(key, e), bits, basis, schedule,
+                batch,
+            )
+        _ = float(loss)
+
+    train_steps_per_sec, train_steps_min, train_reps = _throughput(
+        _train_rep, steps_per_epoch * n_epochs
+    )
 
     # --- Sampling throughput --------------------------------------------
     shots = 5000  # per basis, 27 bases -> 135k bitstrings per call
     args = (state.apply_fn, {"params": state.params}, n, shots, schedule)
     out = diff.sample_all_bases(jax.random.fold_in(key, 100), *args)
     _ = float(jnp.sum(out))  # warm
-    t0 = time.perf_counter()
-    out = diff.sample_all_bases(jax.random.fold_in(key, 101), *args)
-    _ = float(jnp.sum(out))
-    dt = time.perf_counter() - t0
-    sampled_per_sec = (3**n) * shots / dt
+    sampled_per_sec, sampled_min, sampled_reps = _throughput(
+        lambda: float(jnp.sum(
+            diff.sample_all_bases(jax.random.fold_in(key, 101), *args)
+        )),
+        (3**n) * shots,
+    )
 
     # --- Pallas fused-walk throughput at the 1e6-chain regime ------------
     # The round-2 perf headline (17.8M bitstrings/s in RESULTS.md prose),
     # captured here so BENCH_r*.json confirms it round-over-round. Timed
     # end-to-end through sample_all_bases (table precompute + walk).
-    pallas_walk_per_sec = None
+    pallas_walk_per_sec = pallas_walk_min = None
+    pallas_reps = []
     try:
         shots_1m = 37037  # 27 bases x 37037 = 1.0e6 chains, one dispatch
         args_1m = (state.apply_fn, {"params": state.params}, n, shots_1m,
@@ -99,17 +126,19 @@ def main() -> None:
             jax.random.fold_in(key, 200), *args_1m, walk="pallas"
         )
         _ = float(jnp.sum(out))  # warm
-        t0 = time.perf_counter()
-        out = diff.sample_all_bases(
-            jax.random.fold_in(key, 201), *args_1m, walk="pallas"
+        pallas_walk_per_sec, pallas_walk_min, pallas_reps = _throughput(
+            lambda: float(jnp.sum(diff.sample_all_bases(
+                jax.random.fold_in(key, 201), *args_1m, walk="pallas"
+            ))),
+            (3**n) * shots_1m,
+            repeats=5,
         )
-        _ = float(jnp.sum(out))
-        pallas_walk_per_sec = (3**n) * shots_1m / (time.perf_counter() - t0)
     except Exception as err:
         print(f"# pallas walk bench failed: {err!r}", flush=True)
 
     # --- Transformer shadow-route sampling throughput (N=10) -------------
-    shadow_per_sec = None
+    shadow_per_sec = shadow_min = None
+    shadow_reps = []
     try:
         shadow = get_preset("shadow_transformer")
         n10 = shadow.data.num_qubits
@@ -127,10 +156,12 @@ def main() -> None:
                  2000, sched10)
         out = diff.sample_for_bases(jax.random.fold_in(key, 301), *sargs)
         _ = float(jnp.sum(out))  # warm
-        t0 = time.perf_counter()
-        out = diff.sample_for_bases(jax.random.fold_in(key, 302), *sargs)
-        _ = float(jnp.sum(out))
-        shadow_per_sec = 50 * 2000 / (time.perf_counter() - t0)
+        shadow_per_sec, shadow_min, shadow_reps = _throughput(
+            lambda: float(jnp.sum(diff.sample_for_bases(
+                jax.random.fold_in(key, 302), *sargs
+            ))),
+            50 * 2000,
+        )
     except Exception as err:
         print(f"# shadow transformer bench failed: {err!r}", flush=True)
 
@@ -200,13 +231,18 @@ def main() -> None:
         print(f"# rqc3 bench failed: {err!r}", flush=True)
 
     record = {
+        # All throughputs are MEDIANS over >=3 in-process repeats, with
+        # the min (floor) alongside (VERDICT r3 weak #4: single-sample
+        # numbers swung ~25% run to run).
         "metric": "train_steps_per_sec",
         "value": round(train_steps_per_sec, 2),
-        "unit": "steps/s (batch 1024, N=3 flagship)",
+        "unit": "steps/s (batch 1024, N=3 flagship; median of 3)",
         "vs_baseline": round(
             train_steps_per_sec / TORCH_CPU_TRAIN_STEPS_PER_SEC, 2
         ),
+        "train_steps_per_sec_min": round(train_steps_min, 2),
         "sampled_bitstrings_per_sec": round(sampled_per_sec, 1),
+        "sampled_bitstrings_per_sec_min": round(sampled_min, 1),
         "sampling_vs_baseline": round(
             sampled_per_sec / TORCH_CPU_SAMPLED_BITSTRINGS_PER_SEC, 2
         ),
@@ -222,13 +258,21 @@ def main() -> None:
         # BASELINE.md's RQC-3 target through the generative pipeline
         # (20k shots, automated distillation, MLE-projected target):
         "rqc3_fidelity": _r5(rqc3_fid),
-        # Round-2 perf headlines, captured round-over-round:
+        # Round-2 perf headlines, captured round-over-round (median of 5
+        # and 3 respectively, min alongside):
         "pallas_walk_bitstrings_per_sec": (
             None if pallas_walk_per_sec is None
             else round(pallas_walk_per_sec, 1)
         ),
+        "pallas_walk_bitstrings_per_sec_min": (
+            None if pallas_walk_min is None else round(pallas_walk_min, 1)
+        ),
+        "pallas_walk_repeats": [round(t, 1) for t in pallas_reps],
         "shadow_transformer_bitstrings_per_sec": (
             None if shadow_per_sec is None else round(shadow_per_sec, 1)
+        ),
+        "shadow_transformer_bitstrings_per_sec_min": (
+            None if shadow_min is None else round(shadow_min, 1)
         ),
         "device": str(jax.devices()[0]),
     }

@@ -294,6 +294,7 @@ def sample_for_bases(
     schedule: DiffusionSchedule,
     exact: bool | None = None,
     max_chains_per_call: int = 1 << 16,
+    mode: str = "auto",
 ) -> jnp.ndarray:
     """Generate ``shots`` samples per given basis-label row (shadow scale).
 
@@ -302,14 +303,30 @@ def sample_for_bases(
     enumeration infeasible (the shadow-sampled datasets of reference
     ``build_dataset.py:69-87``). Returns ``[B, shots, N]`` int8.
 
-    Generation is chunked into fixed-size jitted calls of at most
-    ``max_chains_per_call`` chains (one compile, reused): the scan keeps
-    per-step activations for the whole chain batch live in HBM, so a
-    single 100-bases x 5000-shots dispatch at N=10 would hold a ~15 GB
-    (padding-dominated) attention intermediate. 2^16 chains keep the peak
-    near 1 GB with no measurable throughput loss at transformer scale.
+    ``mode``:
+
+    - ``'direct'`` — per-chain model forwards, chunked into fixed-size
+      jitted calls of at most ``max_chains_per_call`` chains (one compile,
+      reused): the scan keeps per-step activations for the whole chain
+      batch live in HBM, so a single 100-bases x 5000-shots dispatch at
+      N=10 would hold a ~15 GB (padding-dominated) attention
+      intermediate. 2^16 chains keep the peak near 1 GB.
+    - ``'tables'`` — :func:`sample_for_bases_tables`: the denoiser's
+      inputs per step collapse onto the B x 2^N (basis-row, x) grid, so
+      the model runs once per grid row per step and every chain becomes a
+      pure table walk — the same amortisation the full route uses
+      (:func:`sample_all_bases_chunked`), extended to sampled shadow
+      bases. VERDICT r3 weak #5: the direct path left the MXU idle
+      between tiny transformer forwards at 4 orders below the grid walk.
+    - ``'auto'`` — tables when chains outnumber grid rows
+      (``shots >= 2^N``), direct otherwise (few-shot evals, tests).
     """
     b, n = basis_labels.shape
+    if mode == "tables" or (mode == "auto" and shots >= 2**n):
+        return sample_for_bases_tables(
+            key, apply_fn, params, basis_labels, shots, schedule,
+            exact=exact,
+        )
     flat = jnp.repeat(basis_labels, shots, axis=0)  # [B*shots, N]
     total = b * shots
     if total <= max_chains_per_call:
@@ -327,6 +344,119 @@ def sample_for_bases(
         for i in range(pad_total // chunk)
     ]
     return jnp.concatenate(outs)[:total].reshape(b, shots, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "num_qubits", "exact", "row_budget"),
+)
+def _shadow_table_chunk(
+    apply_fn, params, ts_c, grid_x, grid_lab, schedule,
+    num_qubits: int, exact: bool, row_budget: int,
+):
+    """One shadow-table dispatch: ``len(ts_c)`` timesteps of the B x 2^N
+    (basis-row, x) grid, every forward bounded to ``row_budget`` rows."""
+
+    def denoise_fn(x, t, b):
+        return apply_fn(params, x, t, b)
+
+    return _tables_for_ts(
+        denoise_fn, ts_c, num_qubits, schedule, exact,
+        row_budget=row_budget, grid=(grid_x, grid_lab),
+    )
+
+
+def sample_for_bases_tables(
+    key: jax.Array,
+    apply_fn,
+    params,
+    basis_labels: jnp.ndarray,
+    shots: int,
+    schedule: DiffusionSchedule,
+    exact: bool | None = None,
+    max_table_rows: int = 1 << 18,
+    max_chains: int = 1 << 21,
+    row_budget: int = 1 << 16,
+) -> jnp.ndarray:
+    """Shadow-route generation with amortised grid tables (VERDICT r3 #8).
+
+    The direct sampler runs the transformer on every chain at every step —
+    T x B x shots forwards, 2,830 bitstrings/s at N=10 (BENCH_r03) because
+    each [chains, N]-token forward is tiny and latency-bound. But within a
+    basis row every chain's denoiser input collapses onto the 2^N possible
+    ``x_t`` values, so the per-step tables over the ``[B x 2^N, N]``
+    (basis-row, x) grid determine the whole reverse process. Exactly as
+    the full route's :func:`sample_all_bases_chunked`:
+
+    - tables are built in bounded dispatches of ``m`` timesteps
+      (``m * B * 2^N <= max_table_rows`` rows per device program; every
+      forward inside is ``<= row_budget`` rows — tighter than the MLP
+      budget because transformer rows carry N token activations),
+      assembled into one donated buffer;
+    - each shot-chunk dispatch is a pure gather/Bernoulli table walk
+      (:func:`_table_walk_xla`; the per-cell-SMEM Pallas walk needs
+      2^N <= 128, so N=10 uses XLA) with ZERO model calls.
+
+    Model-forward work drops from ``T * B * shots`` chain rows to
+    ``T * B * 2^N`` grid rows — ~5x fewer at the N=10 campaign eval
+    (5,000 shots/basis) — and the walk is orders cheaper per row.
+
+    Memory: the resident table is ``T * B * 2^N * N`` f32 — 1.23 GB at
+    T=100, B=300, N=10. Distribution matches the direct sampler (identical
+    per-step marginals; independent key stream).
+
+    Returns ``[B, shots, N]`` int8.
+    """
+    exact = _resolve_exact(schedule, exact)
+    b, n = basis_labels.shape
+    g = 2**n
+    t_steps = schedule.num_timesteps
+    x_enum = (
+        (jnp.arange(g, dtype=jnp.int32)[:, None] >> jnp.arange(n)) & 1
+    ).astype(jnp.int8)
+    grid_x = jnp.tile(x_enum, (b, 1))                       # [B*g, N]
+    grid_lab = jnp.repeat(
+        jnp.asarray(basis_labels, jnp.int32), g, axis=0
+    )                                                       # [B*g, N]
+    gtot = b * g
+    m = min(max(1, max_table_rows // gtot), t_steps)
+    ts = jnp.arange(t_steps, 0, -1)
+    n_chunks = -(-t_steps // m)
+    if n_chunks == 1:
+        tables4 = _shadow_table_chunk(
+            apply_fn, params, ts, grid_x, grid_lab, schedule, n, exact,
+            row_budget,
+        ).reshape(t_steps, b, g, n)
+    else:
+        ts_pad = jnp.concatenate(
+            [ts, jnp.ones((n_chunks * m - t_steps,), ts.dtype)]
+        )
+        tables4 = jnp.zeros((t_steps, b, g, n), jnp.float32)
+        last = t_steps - (n_chunks - 1) * m
+        for i in range(n_chunks):
+            part = _shadow_table_chunk(
+                apply_fn, params, ts_pad[i * m : (i + 1) * m], grid_x,
+                grid_lab, schedule, n, exact, row_budget,
+            ).reshape(m, b, g, n)
+            if i == n_chunks - 1 and last != m:
+                part = part[:last]  # drop the dummy t=1 padding rows
+            tables4 = _table_acc(tables4, part, jnp.int32(i * m))
+
+    cap = max(1, max_chains // b)
+    n_calls = -(-shots // cap)
+    per_call = -(-shots // n_calls)
+    idx_chunks = [
+        _table_walk_xla(
+            key if n_calls == 1 else jax.random.fold_in(key, c),
+            tables4, per_call,
+        )
+        for c in range(n_calls)
+    ]
+    idx = (
+        idx_chunks[0] if n_calls == 1
+        else jnp.concatenate(idx_chunks, axis=1)[:, :shots]
+    )
+    return ((idx[..., None] >> jnp.arange(n)) & 1).astype(jnp.int8)
 
 
 def _grid_p1_table(
@@ -429,6 +559,7 @@ def _tables_for_ts(
     exact: bool,
     num_circuits: int = 0,
     row_budget: int = _ROW_BUDGET,
+    grid=None,
 ) -> jnp.ndarray:
     """P(bit=1) tables ``[len(ts_c), Gtot, N]`` for the given timesteps.
 
@@ -437,8 +568,15 @@ def _tables_for_ts(
     forward is bounded to ``row_budget`` rows: timesteps are grouped when
     the grid is small (one forward covers several steps), and a single
     timestep's grid is row-chunked when it is large (N>=8).
+
+    ``grid``: optional ``(grid_x, grid_basis)`` override replacing the
+    canonical :func:`_grid_enum` enumeration — the shadow route passes its
+    sampled ``[B, N]``-label grid here (:func:`sample_for_bases_tables`).
     """
-    grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
+    if grid is None:
+        grid_x, grid_basis = _grid_enum(num_qubits, num_circuits)
+    else:
+        grid_x, grid_basis = grid
     gtot = grid_x.shape[0]
     length = ts_c.shape[0]
     if gtot > row_budget:

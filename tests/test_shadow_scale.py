@@ -181,3 +181,49 @@ def test_shadow_route_chain_distillation():
     assert any("held-out best" in m for m in logs)
     assert res["samples"].shape == (8, 200, 7)
     assert 0.0 <= res["mean_tv_to_target"] <= 1.0
+
+
+def test_tables_path_matches_direct_distribution():
+    """sample_for_bases mode='tables' (amortised B x 2^N grid tables +
+    table walk) agrees in distribution with mode='direct' (per-chain
+    forwards): both must match the EXACT chain distribution
+    (chain_distribution over the same labels) within multinomial noise."""
+    n, t = 3, 12
+    key = jax.random.key(7)
+    labels = jnp.asarray(
+        np.random.default_rng(3).integers(0, 3, (4, n)), jnp.int32
+    )
+    model = build_model(
+        ModelConfig(arch="transformer", embed_dim=16, hidden_dim=32,
+                    num_blocks=1, num_heads=2), n, t,
+    )
+    sched = schedules.cosine_schedule(t)
+    state = training.create_state(
+        key, model, TrainConfig(optimizer="adam"), n
+    )
+
+    def denoise_fn(x, tt, b):
+        return state.apply_fn({"params": state.params}, x, tt, b)
+
+    exact_p = np.asarray(diff.chain_distribution(
+        denoise_fn, n, sched, exact=False, basis_labels=labels
+    ))  # [4, 8]
+
+    shots = 4000
+    outs = {}
+    for mode in ("direct", "tables"):
+        s = diff.sample_for_bases(
+            jax.random.fold_in(key, 1), state.apply_fn,
+            {"params": state.params}, labels, shots, sched,
+            exact=False, mode=mode,
+        )
+        assert s.shape == (4, shots, n)
+        idx = np.asarray(s).astype(np.int64) @ (2 ** np.arange(n))
+        freq = np.stack([
+            np.bincount(row, minlength=2**n) / shots for row in idx
+        ])
+        tv = 0.5 * np.abs(freq - exact_p).sum(-1)
+        outs[mode] = freq
+        assert tv.max() < 0.08, (mode, tv)
+    tv_cross = 0.5 * np.abs(outs["direct"] - outs["tables"]).sum(-1)
+    assert tv_cross.max() < 0.1, tv_cross
