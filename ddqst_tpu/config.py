@@ -97,6 +97,14 @@ class TrainConfig:
     # out-descends 1x at equal step count (0.223 vs 0.168) while opt
     # chaining / lr decay do not.
     chain_accum: int = 1
+    # Hard-basis mining (train.finetune_chain hard_frac): mix this
+    # fraction of excess-KL-proportional weight into the minibatch draw.
+    # Round-4 GHZ-8 measurement: after 4000 distillation steps the chain's
+    # residual excess KL (0.011 nats mean) is concentrated in <~1% of the
+    # 6561 bases (48 random bases read 0.0002) — the low-entropy Z-sector
+    # that carries the GHZ coherence — and the uniform mean-CE draw
+    # starves exactly those bases of gradient weight 100:1.
+    chain_hard_frac: float = 0.0
     # Automated distillation temperature (the one-recipe criterion,
     # RESULTS.md "bias-variance knob"): hold out this fraction of training
     # shots per basis, step-select/early-stop distillation on the

@@ -363,6 +363,7 @@ def _run_shadow_experiment(
             val_patience=cfg.train.chain_val_patience,
             basis_labels=labels_arr,
             accum=cfg.train.chain_accum,
+            hard_frac=cfg.train.chain_hard_frac,
             init_opt_state=_load_chain_opt(opt_load, state.params, log_fn),
         )
         _save_chain_opt(opt_save, ft_info, log_fn)
@@ -654,6 +655,7 @@ def run_experiment(
                 val_counts=val_counts,
                 val_patience=cfg.train.chain_val_patience,
                 accum=cfg.train.chain_accum,
+                hard_frac=cfg.train.chain_hard_frac,
                 init_opt_state=_load_chain_opt(opt_load, state.params, log_fn),
             )
             _save_chain_opt(opt_save, ft_info, log_fn)

@@ -28,6 +28,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 
@@ -210,6 +211,7 @@ def finetune_chain(
     val_every_equiv: float = 2.0,
     accum: int = 1,
     init_opt_state=None,
+    hard_frac: float = 0.0,
 ):
     """Exact-chain distillation: fine-tune the denoiser on the SAMPLER.
 
@@ -303,6 +305,20 @@ def finetune_chain(
         Measured on CPU (scripts/diag_segment_descent.py) as slightly
         WORSE than a fresh-moment restart in the noise-floor regime —
         provided for A/B studies, not the campaign default.
+      hard_frac: hard-basis mining for minibatched runs. The mean-over-
+        bases CE dilutes the gradient of the few bases that still carry
+        excess KL: measured at GHZ-8 (round 4), the chain's mean excess
+        over 48 random bases was 0.0002 nats while the full-grid mean was
+        0.0109 — the entire residual is concentrated in <~1% of bases
+        (the low-entropy Z-sector that carries the GHZ coherence), and a
+        uniform minibatch draw starves them of weight 100:1. With
+        ``hard_frac`` = m > 0, the minibatch is drawn with probabilities
+        ``(1-m)/B + m * excess_b / sum(excess)`` where ``excess_b`` is
+        the per-basis KL(target || chain) measured at ENTRY (one full-grid
+        forward pass, already computed for ``train_ce_before``) — an
+        importance-weighted CE that restores gradient signal to the
+        unsolved bases while the uniform component guards the solved ones
+        against drift. Ignored for full-batch runs.
       basis_labels: optional ``[B, N]`` per-qubit basis labels (the shadow
         route's conditioning form). When given, the chain is distilled
         over exactly those B sampled bases instead of the canonical 3^N
@@ -376,16 +392,19 @@ def finetune_chain(
         dist = _chain(denoise_fn, bidx)
         if conf_t is not None:
             dist = dist @ conf_t
-        ce = -jnp.sum(tgt_chunk * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
-        return jnp.sum(ce)
+        return -jnp.sum(
+            tgt_chunk * jnp.log(jnp.maximum(dist, 1e-12)), axis=-1)
 
-    def full_grid_ce(params, tgt):
-        total = 0.0
+    def grid_ce_per_basis(params, tgt):
+        rows = []
         for i in range(0, num_bases, chunk_b):
             hi = min(i + chunk_b, num_bases)
             bidx = jnp.arange(i, hi, dtype=jnp.int32)
-            total += float(_grid_ce_chunk(params, tgt[i:hi], bidx))
-        return total / num_bases
+            rows.append(np.asarray(_grid_ce_chunk(params, tgt[i:hi], bidx)))
+        return np.concatenate(rows)
+
+    def full_grid_ce(params, tgt):
+        return float(np.mean(grid_ce_per_basis(params, tgt)))
 
     val = None
     if val_counts is not None:
@@ -406,6 +425,21 @@ def finetune_chain(
         # pass is just the unminibatched loss.
         accum = max(num_bases // basis_batch, 1)
 
+    # Entry-time per-basis CE (one full-grid forward pass; also the
+    # honest ``train_ce_before``). With hard_frac > 0, the per-basis
+    # EXCESS over the target's own entropy drives the minibatch draw —
+    # hard-basis mining (see docstring).
+    ce_before = grid_ce_per_basis(state.params, target)
+    draw_p = None
+    if hard_frac > 0 and minibatched:
+        tgt_np = np.asarray(target, np.float64)
+        ent = -np.sum(tgt_np * np.log(np.maximum(tgt_np, 1e-12)), axis=-1)
+        excess = np.maximum(ce_before - ent, 0.0)
+        tot = float(excess.sum())
+        if tot > 0:
+            w = (1.0 - hard_frac) / num_bases + hard_frac * excess / tot
+            draw_p = jnp.asarray(w / w.sum(), jnp.float32)
+
     @functools.partial(jax.jit, static_argnames=("length",))
     def run_chunk(params, opt_state, k0, length):
         def body(carry, ks):
@@ -415,7 +449,8 @@ def finetune_chain(
                 # without replacement, averaged over accum sub-chunks of
                 # the relay-proven basis_batch*2^N dispatch rows each.
                 sel = jax.random.choice(
-                    ks, num_bases, (accum, basis_batch), replace=False
+                    ks, num_bases, (accum, basis_batch), replace=False,
+                    p=draw_p,
                 )
 
                 def acc(c, bidx):
@@ -434,7 +469,8 @@ def finetune_chain(
             else:
                 bidx = (
                     jax.random.choice(
-                        ks, num_bases, (basis_batch,), replace=False
+                        ks, num_bases, (basis_batch,), replace=False,
+                        p=draw_p,
                     )
                     if minibatched else None
                 )
@@ -462,7 +498,11 @@ def finetune_chain(
     k0 = jax.random.key(0) if key is None else key
     all_losses = []
     done = 0
-    info: dict = {"train_ce_before": full_grid_ce(params, target)}
+    info: dict = {"train_ce_before": float(np.mean(ce_before))}
+    if draw_p is not None:
+        # The realised mining distribution (testable wiring; also useful
+        # campaign telemetry — how concentrated is the residual?).
+        info["hard_draw_p"] = np.asarray(draw_p)
     best_ce = best_step = None
     best_params = params
     bad = 0

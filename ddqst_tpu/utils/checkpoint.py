@@ -73,9 +73,25 @@ def save_params(path: str, params) -> None:
     ckpt.close()
 
 
-def restore_params(path: str, template):
+def restore_params(path: str, template=None):
+    """Restore a params snapshot.
+
+    ``template=None`` restores into the SAVED structure but with default
+    (local-device) placement — the snapshot's recorded shardings are
+    ignored, so a TPU-written snapshot restores on a CPU-only host
+    (``scripts/average_params.py`` / offline evaluation tooling).
+    """
     ckpt = ocp.StandardCheckpointer()
-    out = ckpt.restore(os.path.abspath(path), target=template)
+    path = os.path.abspath(path)
+    if template is None:
+        meta = ckpt.metadata(path).item_metadata
+        dev = jax.local_devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(dev)
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta,
+        )
+    out = ckpt.restore(path, target=template)
     ckpt.close()
     return out
 

@@ -122,6 +122,7 @@ def child(args) -> None:
             chain_finetune_steps=args.steps_per_segment,
             chain_key_salt=cfg.train.chain_key_salt + seg,
             chain_accum=args.accum,
+            chain_hard_frac=args.hard_frac,
         )
         if args.chain_lr or args.lr_decay != 1.0:
             base_lr = args.chain_lr or cfg.train.chain_lr
@@ -150,6 +151,7 @@ def child(args) -> None:
             f.write(json.dumps({
                 "segment": seg, "steps_run": steps_run,
                 "lr": cfg.train.chain_lr, "accum": args.accum,
+                "hard_frac": args.hard_frac,
                 "ce_before": info.get("train_ce_before"),
                 "ce_after": info.get("train_ce_after"),
             }) + "\n")
@@ -232,6 +234,13 @@ def main():
                     "grows ~accum-fold — lower --steps_per_call to match")
     ap.add_argument("--steps_per_call", type=int, default=0,
                     help="override chain_steps_per_call (0 = keep config)")
+    ap.add_argument("--hard_frac", type=float, default=0.0,
+                    help="hard-basis mining (TrainConfig.chain_hard_frac): "
+                    "mix this fraction of excess-KL-proportional weight "
+                    "into each segment's minibatch draw, re-measured from "
+                    "a full-grid forward pass at segment entry — restores "
+                    "gradient signal to the <1%% of bases that carry the "
+                    "residual KL at N=8 (Z-sector coherence bases)")
     ap.add_argument("--opt_chain", action="store_true",
                     help="chain distillation Adam moments across segments "
                     "(A/B use; measured slightly worse than fresh moments "
@@ -266,6 +275,7 @@ def main():
         "--lr_decay", str(args.lr_decay),
         "--accum", str(args.accum),
         "--steps_per_call", str(args.steps_per_call),
+        "--hard_frac", str(args.hard_frac),
     ]
     if args.opt_chain:
         base.append("--opt_chain")
