@@ -34,6 +34,7 @@ def make_cfg(
     distill_steps: int = 0, distill_lr: float = 1e-3,
     distill_basis_batch: int = 16, distill_steps_per_call: int = 5,
     distill_val: float = 0.15, distill_salt: int = 0,
+    distill_hard_frac: float = 0.0,
 ):
     """The shadow_transformer preset with the study's knobs applied.
 
@@ -66,6 +67,7 @@ def make_cfg(
             chain_steps_per_call=distill_steps_per_call,
             chain_val_fraction=distill_val,
             chain_key_salt=distill_salt,
+            chain_hard_frac=distill_hard_frac,
         ),
         data=base.data.__class__(
             num_qubits=10, state_type="rqc", noise_type="readout",

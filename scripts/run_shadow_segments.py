@@ -62,6 +62,7 @@ def _cfg_for(args, *, distill_steps: int, distill_salt: int):
         distill_basis_batch=args.distill_basis_batch,
         distill_steps_per_call=args.distill_steps_per_call,
         distill_val=args.distill_val, distill_salt=distill_salt,
+        distill_hard_frac=args.hard_frac,
     )
 
 
@@ -186,6 +187,10 @@ def main():
     ap.add_argument("--distill_basis_batch", type=int, default=16)
     ap.add_argument("--distill_steps_per_call", type=int, default=5)
     ap.add_argument("--distill_val", type=float, default=0.15)
+    ap.add_argument("--hard_frac", type=float, default=0.0,
+                    help="hard-basis mining (TrainConfig.chain_hard_frac): "
+                    "excess-KL-weighted minibatch draw, re-measured at "
+                    "each segment entry (see run_frontier_segments.py)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=os.path.join(REPO, "shadow_work"))
     ap.add_argument("--out",
