@@ -73,3 +73,27 @@ def test_checkpoint_resume(tmp_path, key):
                                    log_fn=lambda *a: None)
     assert losses2.shape[0] == 2  # only the remaining epochs ran
     assert int(state2.step) == 5 * (128 // 64)
+
+def test_params_snapshot_templateless_restore(tmp_path):
+    """restore_params(path, None) rebuilds the saved structure from
+    checkpoint metadata with local-device placement — a TPU-written
+    snapshot restores on a CPU-only host (the offline campaign tooling:
+    scripts/average_params.py, eval_chain_ce_subset.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddqst_tpu.utils import checkpoint as ckpt
+
+    params = {
+        "dense": {"kernel": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                  "bias": jnp.ones((3,), jnp.float32)},
+        "scale": jnp.asarray(2.5, jnp.float32),
+    }
+    path = str(tmp_path / "snap")
+    ckpt.save_params(path, params)
+    out = ckpt.restore_params(path, None)
+    assert jax.tree_util.tree_structure(out) == (
+        jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
