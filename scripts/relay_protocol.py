@@ -20,9 +20,11 @@ CPU-tested with injected failures (``tests/test_campaign_drivers.py``).
 
 from __future__ import annotations
 
+import collections
 import os
 import subprocess
 import sys
+import threading
 import time
 
 
@@ -31,14 +33,97 @@ def cpu_mode() -> bool:
 
 
 def maybe_inject_failure(role: str) -> None:
-    """Test hook: if DDQST_FAIL_ONCE names an existing file and this child
-    is a distill segment, consume the file and die — simulates the
-    transient relay crash the retry loop must absorb."""
+    """Test hooks for the retry loop (CPU tests, tests/test_campaign_drivers):
+
+    - DDQST_FAIL_ONCE=<path>: if the file exists and this child is a
+      distill segment, consume the file and die with the relay's crash
+      signature — simulates the transient failure the loop must absorb.
+    - DDQST_FAIL_BUG=1: a distill child raises a plain ValueError —
+      simulates a deterministic code bug the loop must NOT retry
+      (VERDICT r4 weak #5: retrying a real bug burns retries x
+      (cooldown + data-gen) minutes of TPU window before surfacing).
+    """
     flag = os.environ.get("DDQST_FAIL_ONCE", "")
     if flag and role == "distill" and os.path.exists(flag):
         os.remove(flag)
         print("[relay-protocol] injected transient failure", flush=True)
         sys.exit(17)
+    if os.environ.get("DDQST_FAIL_BUG") == "1" and role == "distill":
+        raise ValueError("injected deterministic bug")
+
+
+# Child-output signatures that mark a failure as TRANSIENT (relay/infra),
+# hence worth a cooldown + health-probe + relaunch. Anything else that
+# produces a Python traceback is a deterministic child bug: retrying it
+# replays the same crash at full data-gen cost, so fail fast instead
+# (VERDICT r4 weak #5).
+TRANSIENT_SIGNATURES = (
+    "UNAVAILABLE",            # jax RPC error class for a dead worker
+    "TPU worker process crashed",
+    "RESOURCE_EXHAUSTED",
+    "DEADLINE_EXCEEDED",
+    "DATA_LOSS",
+    "Socket closed",
+    "Connection reset",
+    "injected transient failure",  # test hook above
+)
+
+
+def classify_failure(rc, tail: str) -> str:
+    """'transient' (retry) or 'fatal' (fail fast) for a dead child.
+
+    rc: the child's returncode, or the string "timeout" when the driver
+    killed it at the segment wall-clock limit (a wedged relay dispatch
+    shows flat CPU forever — always worth a retry: killed-mid-compile
+    programs land in the worker cache, so the retry resumes past the
+    compile). Negative rc = killed by signal (OOM killer, external kill)
+    — infra, retry. A traceback with no transient signature = a
+    deterministic bug in the child; retrying replays it verbatim.
+    An unclassifiable death (no output captured) is retried: the known
+    relay crash modes can kill a child before it flushes anything.
+    """
+    if rc == "timeout":
+        return "transient"
+    if isinstance(rc, int) and rc < 0:
+        return "transient"
+    if any(sig in tail for sig in TRANSIENT_SIGNATURES):
+        return "transient"
+    if "Traceback (most recent call last)" in tail:
+        return "fatal"
+    return "transient"
+
+
+def run_streaming(cmd: list[str], timeout: int = 0, tail_lines: int = 120):
+    """Run a child, streaming its output through while keeping the tail.
+
+    Returns (rc, tail_text). rc is the exit code or the string "timeout".
+    stdout/stderr are merged so the tail always carries the traceback
+    the classifier needs; lines are echoed to our stdout unbuffered so
+    nohup'd campaign logs stay live.
+    """
+    tail: collections.deque[str] = collections.deque(maxlen=tail_lines)
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, errors="replace",
+    )
+
+    def _pump():
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            tail.append(line)
+            sys.stdout.write(line)
+            sys.stdout.flush()
+
+    reader = threading.Thread(target=_pump, daemon=True)
+    reader.start()
+    try:
+        rc = proc.wait(timeout=timeout or None)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        rc = "timeout"
+    reader.join(timeout=10)
+    return rc, "".join(tail)
 
 
 def probe_healthy(probe_cmd: list[str], tries: int = 3) -> bool:
@@ -66,20 +151,32 @@ def run_with_retries(
     timeout: int = 0,
     log_prefix: str = "[segments]",
 ) -> bool:
-    """Run one segment child; on failure, cooldown + health-check + retry."""
+    """Run one segment child; on TRANSIENT failure, cooldown + health-check
+    + retry. A failure classified as a deterministic child bug (traceback
+    with no relay-crash signature, see :func:`classify_failure`) fails
+    fast — no cooldown, no probe, no relaunch (VERDICT r4 weak #5)."""
+    if os.environ.get("DDQST_DRYRUN_CHILDREN") == "1":
+        # Test hook: record the launch sequence without executing children
+        # (the campaign drivers' child ORDER — e.g. program-class warming
+        # before segment 0 — is asserted on CPU without paying for real
+        # children; tests/test_campaign_drivers.py).
+        print(f"{log_prefix} [dryrun] {label}", flush=True)
+        return True
     floor = cooldown if cpu_mode() else max(cooldown, 60)
     for attempt in range(retries + 1):
         print(f"{log_prefix} launching {label} "
               f"(attempt {attempt + 1}, {time.strftime('%H:%M:%S')})",
               flush=True)
-        try:
-            rc = subprocess.run(cmd, timeout=timeout or None).returncode
-        except subprocess.TimeoutExpired:
-            rc = "timeout"  # child killed by subprocess.run
+        rc, tail = run_streaming(cmd, timeout=timeout)
         if rc == 0:
             return True
-        print(f"{log_prefix} {label} rc={rc} (attempt {attempt + 1})",
+        kind = classify_failure(rc, tail)
+        print(f"{log_prefix} {label} rc={rc} ({kind}, attempt {attempt + 1})",
               flush=True)
+        if kind == "fatal":
+            print(f"{log_prefix} {label} failed with a deterministic child "
+                  "error (traceback above); not retrying", flush=True)
+            return False
         if attempt == retries:
             return False
         time.sleep(floor)

@@ -66,6 +66,87 @@ def _cfg_for(args, *, distill_steps: int, distill_salt: int):
     )
 
 
+def _warm_child(args) -> None:
+    """Warm the worker's program cache for one segment-child program class,
+    with RANDOM params/data at the REAL dispatch shapes (VERDICT r4 weak
+    #1 / next-#4: the round-4 campaign crashed at the first-ever cold
+    dispatch of the shadow grid-CE program inside segment 0, and every
+    retry re-paid the full data-gen before re-reaching the crash site).
+
+    Two roles, each a FRESH short-lived process (cold compiles late in a
+    long-lived process are the wedge mode, CLAUDE.md):
+
+    - ``warm_distill``: one tiny :func:`train.finetune_chain` run at the
+      campaign's exact shapes — dispatches the full-grid CE chunk
+      programs (both the full [8 x 2^N] and remainder chunk shapes at
+      N=10/300 bases), the held-out val eval, and one optimisation
+      ``run_chunk`` at the configured steps_per_call/basis_batch/
+      hard_frac (p= vs p=None draw is a different program).
+    - ``warm_gen``: the eval child's generation + histogram classes
+      (``sample_for_bases`` at [max_bases, shots_infer] + bits_to_counts).
+
+    A crash here is cheap to absorb: no data gen, and killed-mid-compile
+    programs still land in the worker cache, so the retry (driven by the
+    same run_with_retries loop) resumes past the compile.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddqst_tpu import train as training
+    from ddqst_tpu.models import build_model
+    from ddqst_tpu.ops import mle
+    from ddqst_tpu.ops.schedules import make_schedule
+
+    cfg = _cfg_for(args, distill_steps=args.distill_steps_per_call,
+                   distill_salt=1)
+    n = cfg.data.num_qubits
+    T = cfg.diffusion.num_timesteps
+    schedule = make_schedule(cfg.diffusion.schedule, T)
+    model = build_model(cfg.model, n, T)
+    state = training.create_state(jax.random.key(0), model, cfg.train, n)
+    b = args.max_bases
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray(rng.integers(0, 3, size=(b, n)), jnp.int32)
+    t0 = _time.perf_counter()
+
+    if args.child_role == "warm_distill":
+        counts = jnp.asarray(
+            rng.random((b, 2**n)) + 0.1, jnp.float32
+        )
+        val = jnp.asarray(rng.random((b, 2**n)) + 0.1, jnp.float32)
+        _, _, info = training.finetune_chain(
+            state, counts, schedule, n,
+            steps=args.distill_steps_per_call,
+            learning_rate=cfg.train.chain_lr,
+            exact=cfg.diffusion.exact,
+            basis_batch=args.distill_basis_batch,
+            key=jax.random.key(1),
+            steps_per_call=args.distill_steps_per_call,
+            val_counts=val,
+            basis_labels=labels,
+            hard_frac=args.hard_frac,
+        )
+        print(f"== warm_distill done: grid-CE + run_chunk classes warm "
+              f"(ce {info['train_ce_before']:.3f} -> "
+              f"{info['train_ce_after']:.3f}) "
+              f"[{_time.perf_counter() - t0:.1f}s]", flush=True)
+        return
+
+    from ddqst_tpu.ops import diffusion as diff
+
+    samples = diff.sample_for_bases(
+        jax.random.key(2), state.apply_fn, {"params": state.params},
+        labels, args.shots_infer, schedule, exact=cfg.diffusion.exact,
+    )
+    counts = mle.bits_to_counts(samples)
+    print(f"== warm_gen done: generation + histogram classes warm "
+          f"(sum {float(jnp.sum(counts)):.0f}) "
+          f"[{_time.perf_counter() - t0:.1f}s]", flush=True)
+
+
 def child(args) -> None:
     """One segment (ce / distill / eval) in its own fresh process."""
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
@@ -86,6 +167,9 @@ def child(args) -> None:
         x = jnp.ones((128, 128), jnp.float32)
         print(f"probe ok: {float(jnp.sum(x @ x)):.0f}", flush=True)
         return
+    if args.child_role in ("warm_distill", "warm_gen"):
+        _warm_child(args)
+        return
     maybe_inject_failure(args.child_role)
     from ddqst_tpu import pipeline
 
@@ -96,10 +180,15 @@ def child(args) -> None:
         return os.path.join(args.workdir, f"{tag}_{name}_params")
 
     steps_log = os.path.join(args.workdir, f"{tag}_segments.jsonl")
+    cache = (
+        os.path.join(args.workdir, f"{tag}_data.npz")
+        if args.data_cache == "auto" else args.data_cache
+    )
     if args.child_role == "ce":
         cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
         pipeline.run_experiment(
             cfg, seed=args.seed, params_save=snap(-1), stop_after="distill",
+            data_cache=cache,
         )
         print("== ce segment done", flush=True)
         return
@@ -111,7 +200,7 @@ def child(args) -> None:
         )
         res = pipeline.run_experiment(
             cfg, seed=args.seed, params_load=snap(seg - 1),
-            params_save=snap(seg), stop_after="distill",
+            params_save=snap(seg), stop_after="distill", data_cache=cache,
         )
         info = res.get("ft_info") or {}
         # Actual steps run (held-out early stop can truncate a segment;
@@ -137,7 +226,9 @@ def child(args) -> None:
     # eval role: no further distillation, full generation/metrics tail.
     cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
     t0 = time.perf_counter()
-    res = pipeline.run_experiment(cfg, seed=args.seed, params_load=snap(seg))
+    res = pipeline.run_experiment(
+        cfg, seed=args.seed, params_load=snap(seg), data_cache=cache,
+    )
     actual_steps = None
     if os.path.exists(steps_log):
         with open(steps_log) as f:
@@ -207,9 +298,21 @@ def main():
     ap.add_argument("--segment_timeout", type=int, default=0,
                     help="kill a segment child after this many seconds and "
                     "retry (0 = none); set to expected wall + >=15 min")
+    ap.add_argument("--data_cache", default="auto",
+                    help="npz cache for the generated data (same seed = "
+                    "identical data; children reuse the first child's "
+                    "~13-min simulation pass). 'auto' = "
+                    "<workdir>/<tag>_data.npz; '' disables")
+    ap.add_argument("--no_warm", action="store_true",
+                    help="skip the program-class warm children (default: "
+                    "warm_distill + warm_gen run in fresh processes before "
+                    "the first segment — VERDICT r4 weak #1: the campaign "
+                    "crashed at the first-ever cold shadow grid-CE "
+                    "dispatch inside segment 0)")
     # Internal: child invocation.
     ap.add_argument("--child_role",
-                    choices=["ce", "distill", "eval", "probe"], default="")
+                    choices=["ce", "distill", "eval", "probe",
+                             "warm_distill", "warm_gen"], default="")
     ap.add_argument("--child_segment", type=int, default=0)
     args = ap.parse_args()
     if args.child_role:
@@ -231,7 +334,30 @@ def main():
         "--distill_basis_batch", str(args.distill_basis_batch),
         "--distill_steps_per_call", str(args.distill_steps_per_call),
         "--distill_val", str(args.distill_val),
+        # hard_frac/data_cache must reach the children: the round-4
+        # driver omitted hard_frac from base, so a parent --hard_frac
+        # silently ran children at 0.0 (fixed round 5).
+        "--hard_frac", str(args.hard_frac),
+        "--data_cache", args.data_cache,
     ]
+    probe = base + ["--child_role", "probe"]
+    if not args.no_warm:
+        # Program-class warming, each class a fresh process (see
+        # _warm_child). Retried by the same relay protocol: a crash
+        # mid-warm is cheap (no data gen) and the killed compile still
+        # lands in the worker cache, so attempt 2 resumes past it.
+        for wrole in ("warm_distill", "warm_gen"):
+            ok = run_with_retries(
+                base + ["--child_role", wrole], probe, wrole,
+                retries=args.retries, cooldown=args.cooldown,
+                timeout=args.segment_timeout,
+                log_prefix="[shadow-segments]",
+            )
+            if not ok:
+                print(f"[shadow-segments] {wrole} FAILED; aborting "
+                      "(rerun with --no_warm to skip warming)", flush=True)
+                sys.exit(1)
+            time.sleep(args.cooldown)
     for seg in range(args.start_segment, args.segments + 1):
         if seg < 0:
             role, seg_arg = "ce", 0
@@ -242,7 +368,7 @@ def main():
             role, seg_arg = "distill", seg
         cmd = base + ["--child_role", role, "--child_segment", str(seg_arg)]
         ok = run_with_retries(
-            cmd, base + ["--child_role", "probe"],
+            cmd, probe,
             f"{role} segment {seg}", retries=args.retries,
             cooldown=args.cooldown, timeout=args.segment_timeout,
             log_prefix="[shadow-segments]",

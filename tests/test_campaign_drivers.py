@@ -93,3 +93,147 @@ def test_frontier_campaign_fails_after_exhausting_retries(tmp_path):
     )
     assert proc.returncode != 0
     assert "resume with --start_segment" in proc.stdout
+
+
+def test_classify_failure_rules():
+    """VERDICT r4 weak #5: transient relay signatures retry; a plain
+    traceback (deterministic child bug) fails fast; unclassifiable
+    deaths retry."""
+    sys.path.insert(0, SCRIPTS)
+    from relay_protocol import classify_failure
+
+    # Relay/infra failure modes -> transient.
+    assert classify_failure(1, "jax.errors.JaxRuntimeError: UNAVAILABLE: "
+                            "TPU worker process crashed") == "transient"
+    assert classify_failure(1, "RESOURCE_EXHAUSTED: out of memory"
+                            ) == "transient"
+    assert classify_failure("timeout", "") == "transient"
+    assert classify_failure(-9, "") == "transient"          # OOM-killed
+    assert classify_failure(17, "[relay-protocol] injected transient "
+                            "failure") == "transient"
+    assert classify_failure(1, "") == "transient"           # no evidence
+    # A deterministic child bug -> fatal (fail fast, don't burn retries).
+    tb = ("Traceback (most recent call last):\n  File x.py, line 1\n"
+          "ValueError: injected deterministic bug")
+    assert classify_failure(1, tb) == "fatal"
+    # A traceback whose CAUSE is a relay error is still transient.
+    assert classify_failure(1, tb + "\nUNAVAILABLE: socket") == "transient"
+
+
+def test_frontier_campaign_fails_fast_on_deterministic_bug(tmp_path):
+    """A child that dies with a plain traceback (no relay signature) must
+    NOT be retried even with retries available — retrying a code bug
+    replays the crash at full data-gen cost (VERDICT r4 weak #5)."""
+    out = str(tmp_path / "results.jsonl")
+    workdir = str(tmp_path / "work")
+    cmd = [
+        sys.executable, os.path.join(SCRIPTS, "run_frontier_segments.py"),
+        "--tag", "cpu_tiny", "--segments", "1", "--steps_per_segment", "2",
+        "--cooldown", "0", "--retries", "2",
+        "--start_segment", "0",  # skip the ce child: bug fires in distill
+        "--workdir", workdir, "--out", out,
+    ]
+    env = _env(tmp_path)
+    env["DDQST_FAIL_BUG"] = "1"
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode != 0
+    assert "injected deterministic bug" in proc.stdout
+    assert "not retrying" in proc.stdout
+    assert "attempt 2" not in proc.stdout  # retries were available, unused
+
+
+def test_shadow_campaign_warms_program_classes_first(tmp_path):
+    """VERDICT r4 next-#4: the shadow driver must warm the distill and
+    generation program classes (fresh processes) BEFORE segment 0 —
+    the round-4 campaign crashed at the first-ever cold shadow grid-CE
+    dispatch inside segment 0. Asserted via the dryrun child hook (the
+    real N=10 children are TPU-scale)."""
+    env = _env(tmp_path)
+    env["DDQST_DRYRUN_CHILDREN"] = "1"
+    cmd = [
+        sys.executable, os.path.join(SCRIPTS, "run_shadow_segments.py"),
+        "--tag", "dry", "--segments", "2", "--cooldown", "0",
+        "--workdir", str(tmp_path / "work"),
+        "--out", str(tmp_path / "results.jsonl"),
+    ]
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    labels = [
+        line.split("[dryrun] ", 1)[1]
+        for line in proc.stdout.splitlines() if "[dryrun]" in line
+    ]
+    assert labels == [
+        "warm_distill", "warm_gen", "ce segment -1",
+        "distill segment 0", "distill segment 1", "eval segment 2",
+    ], labels
+    # --no_warm skips the warm children.
+    proc = subprocess.run(
+        cmd + ["--no_warm", "--start_segment", "0"], env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0
+    assert "warm_" not in proc.stdout
+
+
+@pytest.mark.parametrize("role", ["warm_distill", "warm_gen"])
+def test_shadow_warm_children_run(tmp_path, role):
+    """The warm children themselves execute end to end (tiny model /
+    basis budget; the real campaign runs them at full shapes). They use
+    synthetic random params/data — no data gen, so a relay crash during
+    warming is cheap to retry."""
+    cmd = [
+        sys.executable, os.path.join(SCRIPTS, "run_shadow_segments.py"),
+        "--tag", "warmtest", "--child_role", role,
+        "--embed", "8", "--hidden", "16", "--blocks", "1", "--heads", "2",
+        "--max_bases", "4", "--shots_infer", "40",
+        "--distill_basis_batch", "2", "--distill_steps_per_call", "2",
+        "--hard_frac", "0.5",
+        "--workdir", str(tmp_path / "work"),
+        "--out", str(tmp_path / "results.jsonl"),
+    ]
+    proc = subprocess.run(
+        cmd, env=_env(tmp_path), capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert f"== {role} done" in proc.stdout
+
+
+def test_run_experiment_data_cache(tmp_path):
+    """data_cache: the first run persists the generated data; the second
+    loads it (skipping the simulation pass) and reproduces identical
+    data-dependent results."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("special_states").replace(name="cache_test")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(embed_dim=16, hidden_dim=32, num_blocks=1),
+        diffusion=cfg.diffusion.__class__(num_timesteps=10, schedule="cosine"),
+        train=cfg.train.__class__(
+            batch_size=64, learning_rate=1e-3, optimizer="adam",
+            num_epochs=1, log_every=0, eval_every=0,
+        ),
+        data=cfg.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="ideal",
+            shots_train=100, shots_infer=100,
+        ),
+    )
+    cache = str(tmp_path / "data.npz")
+    logs: list[str] = []
+    r1 = pipeline.run_experiment(
+        cfg, seed=3, data_cache=cache, log_fn=logs.append,
+    )
+    assert os.path.exists(cache)
+    assert any("cached data to" in line for line in logs)
+    logs.clear()
+    r2 = pipeline.run_experiment(
+        cfg, seed=3, data_cache=cache, log_fn=logs.append,
+    )
+    assert any("loading cached data" in line for line in logs)
+    assert r1["raw_fidelity"] == r2["raw_fidelity"]
+    assert r1["fidelity"] == pytest.approx(r2["fidelity"], abs=1e-5)

@@ -66,6 +66,46 @@ def test_chain_distribution_basis_subset():
     )
 
 
+def test_chain_distribution_all_bases_chunked():
+    """chain_distribution_all_bases (the zero-shot-noise eval tail) ==
+    the unchunked chain over every canonical basis, for any max_rows
+    chunking (per-basis chains are independent)."""
+    n = 2
+    s = schedules.cosine_schedule(12)
+    fn = _denoiser(n)
+
+    def denoise(x, t, b):
+        return fn({}, x, t, b)
+
+    full = np.asarray(diff.chain_distribution(denoise, n, s, exact=False))
+    # max_rows=8 -> chunks of 2 bases (and a remainder), forcing the
+    # chunked path; apply_fn signature matches flax's apply.
+    chunked = diff.chain_distribution_all_bases(
+        lambda v, x, t, b: fn(v["params"], x, t, b), {}, n, s,
+        exact=False, max_rows=8,
+    )
+    assert chunked.shape == (9, 4)
+    np.testing.assert_allclose(np.asarray(chunked), full, atol=1e-6)
+    # Shadow form: label conditioning ([rows, N] b) over a basis subset.
+    from ddqst_tpu.ops import pauli
+
+    def fn_lab(params, x, t, b):
+        tilt = (b[:, :1] % 3).astype(jnp.float32) - 1.0
+        logit1 = (2.0 * x.astype(jnp.float32) - 1.0) * 2.5 + tilt
+        return jnp.stack([-logit1, logit1], axis=-1)
+
+    labels = jnp.asarray(pauli.all_basis_labels(n)[[5, 1, 8]], jnp.int32)
+    sub = diff.chain_distribution_all_bases(
+        lambda v, x, t, b: fn_lab(v["params"], x, t, b), {}, n, s,
+        exact=False, basis_labels=labels, max_rows=4,
+    )
+    direct = diff.chain_distribution(
+        lambda x, t, b: fn_lab({}, x, t, b), n, s, exact=False,
+        basis_labels=labels,
+    )
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(direct), atol=1e-6)
+
+
 def test_finetune_chain_basis_minibatch(key):
     """Minibatched distillation descends the same objective: the chain CE
     against the target drops after a few minibatched steps."""
