@@ -99,6 +99,10 @@ def child(args) -> None:
     prev = snap(seg - 1) if (seg > 0 or os.path.exists(snap(-1))) else ""
     cur = snap(seg)
     cache = os.path.join(args.workdir, f"{tag}_target.npz")
+    dcache = (
+        os.path.join(args.workdir, f"{tag}_data.npz")
+        if args.data_cache == "auto" else args.data_cache
+    )
     steps_log = os.path.join(args.workdir, f"{tag}_segments.jsonl")
     if args.ce_epochs:
         cfg = cfg.replace(train=dataclasses.replace(
@@ -113,7 +117,7 @@ def child(args) -> None:
         ))
         pipeline.run_experiment(
             cfg, seed=args.seed, params_save=snap(-1),
-            stop_after="distill",
+            stop_after="distill", data_cache=dcache,
         )
         print("== ce segment done", flush=True)
         return
@@ -142,6 +146,7 @@ def child(args) -> None:
             target_cache=cache, stop_after="distill",
             opt_load=prev_opt,
             opt_save=snap(seg, "opt") if args.opt_chain else "",
+            data_cache=dcache,
         )
         info = res.get("ft_info") or {}
         steps_run = (
@@ -168,7 +173,9 @@ def child(args) -> None:
         cfg.train, chain_finetune_steps=0,
     ))
     t0 = time.perf_counter()
-    res = pipeline.run_experiment(cfg, seed=args.seed, params_load=prev)
+    res = pipeline.run_experiment(
+        cfg, seed=args.seed, params_load=prev, data_cache=dcache,
+    )
     actual_steps = None
     if os.path.exists(steps_log):
         with open(steps_log) as f:
@@ -248,6 +255,17 @@ def main():
     ap.add_argument("--retries", type=int, default=2,
                     help="automatic relaunches of a failed segment (after "
                     "cooldown + health check) before giving up")
+    ap.add_argument("--data_cache", default="auto",
+                    help="npz cache for the generated data (same seed = "
+                    "identical data; children/probe share one simulation "
+                    "pass). 'auto' = <workdir>/<tag>_data.npz; '' disables")
+    ap.add_argument("--no_warm", action="store_true",
+                    help="skip program-class warming (default: warm_tail "
+                    "then a tiny-budget probe run with IDENTICAL program "
+                    "shapes execute in fresh processes before the first "
+                    "segment — the CLAUDE.md warm-up recipe, now encoded "
+                    "in the driver per VERDICT r4 next-#4; the probe also "
+                    "fills the data and MLE-target caches)")
     ap.add_argument("--segment_timeout", type=int, default=0,
                     help="kill a segment child after this many seconds and "
                     "retry (0 = no timeout). A wedged relay dispatch shows "
@@ -276,9 +294,45 @@ def main():
         "--accum", str(args.accum),
         "--steps_per_call", str(args.steps_per_call),
         "--hard_frac", str(args.hard_frac),
+        "--data_cache", args.data_cache,
     ]
     if args.opt_chain:
         base.append("--opt_chain")
+    probe = base + ["--child_role", "probe"]
+    if not args.no_warm:
+        # CLAUDE.md warm-up recipe, driver-encoded (VERDICT r4 next-#4):
+        # warm_tail first (generation/estimator/metrics classes, random
+        # params at real shapes, fresh process), then a tiny-budget probe
+        # with IDENTICAL program shapes (training + distillation classes;
+        # its late-life compiles — generation, MLE — are then already
+        # warm). The probe fills the data + MLE-target caches, so
+        # segment 0 re-pays neither.
+        dcache = (
+            os.path.join(args.workdir, f"{args.tag}_data.npz")
+            if args.data_cache == "auto" else args.data_cache
+        )
+        tcache = os.path.join(args.workdir, f"{args.tag}_target.npz")
+        warm_cmds = [
+            ("warm_tail", [
+                sys.executable, os.path.join(SCRIPTS, "warm_tail.py"),
+                "--tag", args.tag,
+            ]),
+            ("warm_probe", [
+                sys.executable, os.path.join(SCRIPTS, "run_scaling_ghz.py"),
+                "--probe", "--only", args.tag, "--seed", str(args.seed),
+                "--data_cache", dcache, "--target_cache", tcache,
+            ]),
+        ]
+        for wlabel, wcmd in warm_cmds:
+            ok = run_with_retries(
+                wcmd, probe, wlabel, retries=args.retries,
+                cooldown=args.cooldown, timeout=args.segment_timeout,
+            )
+            if not ok:
+                print(f"[segments] {wlabel} FAILED; aborting (rerun with "
+                      "--no_warm to skip warming)", flush=True)
+                sys.exit(1)
+            time.sleep(args.cooldown)
     for seg in range(args.start_segment, args.segments + 1):
         if seg < 0:
             role, seg_arg = "ce", 0
@@ -289,7 +343,7 @@ def main():
             role, seg_arg = "distill", seg
         cmd = base + ["--child_role", role, "--child_segment", str(seg_arg)]
         ok = run_with_retries(
-            cmd, base + ["--child_role", "probe"], f"{role} segment {seg}",
+            cmd, probe, f"{role} segment {seg}",
             retries=args.retries, cooldown=args.cooldown,
             timeout=args.segment_timeout,
         )

@@ -361,6 +361,14 @@ def main():
                     "relay worker wedges on cold compiles late in "
                     "long-lived processes (CLAUDE.md wedge modes). "
                     "Results are not recorded.")
+    ap.add_argument("--data_cache", default="",
+                    help="npz cache for the generated data (same seed = "
+                    "identical data); lets a campaign's probe/children "
+                    "share one simulation pass")
+    ap.add_argument("--target_cache", default="",
+                    help="npz cache for the MLE distillation target "
+                    "(chain_target='mle'): the probe computes the ~10-min "
+                    "N=8 solve once and segment 0 reloads it")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
@@ -388,7 +396,10 @@ def main():
                 ),
             ))
         t0 = time.perf_counter()
-        res = pipeline.run_experiment(cfg, seed=args.seed)
+        res = pipeline.run_experiment(
+            cfg, seed=args.seed, data_cache=args.data_cache,
+            target_cache=args.target_cache,
+        )
         if args.probe:
             print(f"== probe {tag} complete "
                   f"[{time.perf_counter() - t0:.1f}s]", flush=True)

@@ -45,7 +45,7 @@ def test_frontier_campaign_retries_after_transient_failure(tmp_path):
     cmd = [
         sys.executable, os.path.join(SCRIPTS, "run_frontier_segments.py"),
         "--tag", "cpu_tiny", "--segments", "2", "--steps_per_segment", "4",
-        "--cooldown", "0", "--retries", "2",
+        "--cooldown", "0", "--retries", "2", "--no_warm",
         "--workdir", workdir, "--out", out,
     ]
     proc = subprocess.run(
@@ -84,7 +84,7 @@ def test_frontier_campaign_fails_after_exhausting_retries(tmp_path):
     cmd = [
         sys.executable, os.path.join(SCRIPTS, "run_frontier_segments.py"),
         "--tag", "cpu_tiny", "--segments", "1", "--steps_per_segment", "2",
-        "--cooldown", "0", "--retries", "0",
+        "--cooldown", "0", "--retries", "0", "--no_warm",
         "--workdir", workdir, "--out", out,
     ]
     proc = subprocess.run(
@@ -129,7 +129,7 @@ def test_frontier_campaign_fails_fast_on_deterministic_bug(tmp_path):
     cmd = [
         sys.executable, os.path.join(SCRIPTS, "run_frontier_segments.py"),
         "--tag", "cpu_tiny", "--segments", "1", "--steps_per_segment", "2",
-        "--cooldown", "0", "--retries", "2",
+        "--cooldown", "0", "--retries", "2", "--no_warm",
         "--start_segment", "0",  # skip the ce child: bug fires in distill
         "--workdir", workdir, "--out", out,
     ]
@@ -142,6 +142,33 @@ def test_frontier_campaign_fails_fast_on_deterministic_bug(tmp_path):
     assert "injected deterministic bug" in proc.stdout
     assert "not retrying" in proc.stdout
     assert "attempt 2" not in proc.stdout  # retries were available, unused
+
+
+def test_frontier_campaign_warms_program_classes_first(tmp_path):
+    """The frontier driver encodes the CLAUDE.md warm-up recipe: warm_tail
+    (fresh process, tail classes) then a tiny-budget probe with identical
+    program shapes, BEFORE the first segment child (VERDICT r4 next-#4).
+    Asserted via the dryrun hook."""
+    env = _env(tmp_path)
+    env["DDQST_DRYRUN_CHILDREN"] = "1"
+    cmd = [
+        sys.executable, os.path.join(SCRIPTS, "run_frontier_segments.py"),
+        "--tag", "cpu_tiny", "--segments", "1", "--cooldown", "0",
+        "--workdir", str(tmp_path / "work"),
+        "--out", str(tmp_path / "results.jsonl"),
+    ]
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    labels = [
+        line.split("[dryrun] ", 1)[1]
+        for line in proc.stdout.splitlines() if "[dryrun]" in line
+    ]
+    assert labels == [
+        "warm_tail", "warm_probe", "ce segment -1",
+        "distill segment 0", "eval segment 1",
+    ], labels
 
 
 def test_shadow_campaign_warms_program_classes_first(tmp_path):
