@@ -154,11 +154,22 @@ def main() -> None:
         )
         sargs = (state10.apply_fn, {"params": state10.params}, labels10,
                  2000, sched10)
-        out = diff.sample_for_bases(jax.random.fold_in(key, 301), *sargs)
+        # max_table_rows=2^20: the default 2^18 splits the T=100 table
+        # build into 20 chunk + 20 accumulate dispatches and the bench is
+        # relay-latency-bound, not compute-bound (BENCH_r04: 7,143/s,
+        # short of the >=8,500 bar, VERDICT r4 weak #2). 2^20 rows = 20
+        # timesteps/chunk -> 5+5 dispatches; each chunk still splits
+        # internally into row_budget (2^16) forwards, so per-forward
+        # memory is unchanged and per-dispatch wall stays ~2-3 s, far
+        # under the relay's multi-minute crash horizon.
+        skw = dict(max_table_rows=1 << 20)
+        out = diff.sample_for_bases_tables(
+            jax.random.fold_in(key, 301), *sargs, **skw
+        )
         _ = float(jnp.sum(out))  # warm
         shadow_per_sec, shadow_min, shadow_reps = _throughput(
-            lambda: float(jnp.sum(diff.sample_for_bases(
-                jax.random.fold_in(key, 302), *sargs
+            lambda: float(jnp.sum(diff.sample_for_bases_tables(
+                jax.random.fold_in(key, 302), *sargs, **skw
             ))),
             50 * 2000,
         )
