@@ -230,6 +230,56 @@ def test_shadow_warm_children_run(tmp_path, role):
     assert f"== {role} done" in proc.stdout
 
 
+def test_make_target_and_exact_rescore_cpu_tiny(tmp_path):
+    """make_mle_target reproduces a campaign's target npz + data cache
+    from cfg+seed alone (container-reset recovery), and exact_rescore
+    scores a snapshot through the zero-shot-noise eval tail, with the
+    sampled A/B row drawn from the same distributions."""
+    import numpy as np
+
+    workdir = str(tmp_path / "work")
+    env = _env(tmp_path)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "make_mle_target.py"),
+         "--tag", "cpu_tiny", "--workdir", workdir],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    tgt = np.load(os.path.join(workdir, "cpu_tiny_target.npz"))["target"]
+    assert tgt.shape == (9, 4)
+    np.testing.assert_allclose(tgt.sum(-1), 1.0, atol=1e-4)
+    assert os.path.exists(os.path.join(workdir, "cpu_tiny_data.npz"))
+
+    # Snapshot: a random-init model is enough to drive the rescore path.
+    from ddqst_tpu import train as training
+    from ddqst_tpu.models import build_model
+    from ddqst_tpu.utils import checkpoint as ckpt
+
+    sys.path.insert(0, SCRIPTS)
+    from run_scaling_ghz import experiments
+
+    import jax
+
+    cfg = next(c for t, c, _ in experiments() if t == "cpu_tiny")
+    model = build_model(cfg.model, 2, cfg.diffusion.num_timesteps)
+    st = training.create_state(jax.random.key(1), model, cfg.train, 2)
+    snap = str(tmp_path / "snap")
+    ckpt.save_params(snap, st.params)
+    out = str(tmp_path / "rescore.jsonl")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "exact_rescore.py"),
+         "--tag", "cpu_tiny", "--params", snap, "--also_sampled",
+         "--out", out],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    with open(out) as f:
+        rows = [json.loads(line) for line in f]
+    kinds = [r["kind"] for r in rows]
+    assert kinds == ["exact_dist", "sampled_from_dist"]
+    assert all(0.0 <= r["fidelity"] <= 1.0 for r in rows)
+
+
 def test_run_experiment_data_cache(tmp_path):
     """data_cache: the first run persists the generated data; the second
     loads it (skipping the simulation pass) and reproduces identical
