@@ -23,6 +23,7 @@ resumed runs deterministically replay epoch keys from the per-epoch
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Callable
 
@@ -382,7 +383,11 @@ def finetune_chain(
         # 8192 rows (not 16384): a [16384, H] transformer chain eval at
         # N=10 sits at the relay worker's multi-minute-program crash
         # threshold — measured crash at the first in-loop held-out eval.
-        chunk_b = max(1, min(num_bases, 8192 // 2**num_qubits))
+        # DDQST_GRID_ROWS: campaign fallback knob — if the relay worker
+        # repeatedly dies compiling the 8192-row program, a smaller cap
+        # is the only shape change that can unblock a campaign.
+        cap_rows = int(os.environ.get("DDQST_GRID_ROWS", "8192"))
+        chunk_b = max(1, min(num_bases, cap_rows // 2**num_qubits))
 
     @jax.jit
     def _grid_ce_chunk(params, tgt_chunk, bidx):
