@@ -194,6 +194,33 @@ def load_data_cache(path: str) -> GeneratedData:
     )
 
 
+def ensure_data_cache(cfg, seed: int, path: str, log_fn=print) -> str:
+    """Fill a campaign's data cache if absent; no-op when it exists.
+
+    Key derivation is byte-identical to :func:`run_experiment` (same
+    ``jax.random.key(seed)`` split / ``default_rng(seed)``), so a cache
+    produced here is exactly the data every campaign child would have
+    generated itself. Campaign drivers run this in a CPU-only child
+    BEFORE touching the TPU relay: the same N=10 shadow pass that costs
+    ~13 min of device dispatches takes ~75 s host-side (measured round
+    5), and the cache then survives every relay crash/retry.
+    """
+    if os.path.exists(path):
+        return path
+    key = jax.random.key(seed)
+    rng = np.random.default_rng(seed)
+    k_data, _, _ = jax.random.split(key, 3)
+    log_fn(
+        f"[{cfg.name}] datagen: {cfg.data.state_type} "
+        f"N={cfg.data.num_qubits} noise={cfg.data.noise_type} "
+        f"shots={cfg.data.shots_train} -> {path}"
+    )
+    data = generate_training_data(cfg, k_data, rng)
+    if not os.path.exists(path):  # a racing child may have beaten us
+        save_data_cache(path, data)
+    return path
+
+
 def flatten_for_training(
     bits: jnp.ndarray, basis_idx: np.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

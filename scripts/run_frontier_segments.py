@@ -77,6 +77,30 @@ def child(args) -> None:
         x = jnp.ones((128, 128), jnp.float32)
         print(f"probe ok: {float(jnp.sum(x @ x)):.0f}", flush=True)
         return
+    if args.child_role == "datagen":
+        # Host-side data-cache fill, CPU-only (no axon init, no relay
+        # dispatches): the identical data in ~1-2 min vs ~13 min of
+        # device time per child/retry (round-5 addition; see
+        # pipeline.ensure_data_cache).
+        os.environ["DDQST_CPU"] = "1"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        _xb._topology_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+        from ddqst_tpu import pipeline as _pl
+        from run_scaling_ghz import experiments as _exps
+
+        cfg = next(c for t, c, _ in _exps() if t == args.tag)
+        _pl.ensure_data_cache(
+            cfg, args.seed,
+            os.path.join(args.workdir, f"{args.tag}_data.npz")
+            if args.data_cache == "auto" else args.data_cache,
+        )
+        print("== datagen done", flush=True)
+        return
     from relay_protocol import maybe_inject_failure
 
     maybe_inject_failure(args.child_role)
@@ -275,7 +299,8 @@ def main():
                     "the compile)")
     # Internal: child invocation.
     ap.add_argument("--child_role",
-                    choices=["ce", "distill", "eval", "probe"], default="")
+                    choices=["ce", "distill", "eval", "probe", "datagen"],
+                    default="")
     ap.add_argument("--child_segment", type=int, default=0)
     args = ap.parse_args()
     if args.child_role:
@@ -299,6 +324,22 @@ def main():
     if args.opt_chain:
         base.append("--opt_chain")
     probe = base + ["--child_role", "probe"]
+    dcache_path = (
+        os.path.join(args.workdir, f"{args.tag}_data.npz")
+        if args.data_cache == "auto" else args.data_cache
+    )
+    if dcache_path and not os.path.exists(dcache_path):
+        # Host-side cache fill BEFORE any relay child (round-5 addition;
+        # see run_shadow_segments): CPU-only, so a cold relay cannot
+        # cost the campaign its data pass.
+        ok = run_with_retries(
+            base + ["--child_role", "datagen"], probe, "datagen",
+            retries=args.retries, cooldown=args.cooldown,
+            timeout=args.segment_timeout,
+        )
+        if not ok:
+            print("[segments] datagen FAILED; aborting", flush=True)
+            sys.exit(1)
     if not args.no_warm:
         # CLAUDE.md warm-up recipe, driver-encoded (VERDICT r4 next-#4):
         # warm_tail first (generation/estimator/metrics classes, random

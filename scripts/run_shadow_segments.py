@@ -150,6 +150,11 @@ def _warm_child(args) -> None:
 def child(args) -> None:
     """One segment (ce / distill / eval) in its own fresh process."""
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ddqst_jax_cache")
+    if args.child_role == "datagen":
+        # Data gen never needs the device: force CPU mode so the ~4-min
+        # axon init and the device dispatch path are skipped entirely
+        # (measured: 75 s host-side vs ~13 min through the relay).
+        os.environ["DDQST_CPU"] = "1"
     if os.environ.get("DDQST_CPU") == "1":
         # CPU smoke-test mode: drop the axon PJRT factory before first
         # device use (its init costs ~4 min even under JAX_PLATFORMS=cpu).
@@ -172,6 +177,16 @@ def child(args) -> None:
         return
     maybe_inject_failure(args.child_role)
     from ddqst_tpu import pipeline
+
+    if args.child_role == "datagen":
+        cfg = _cfg_for(args, distill_steps=0, distill_salt=0)
+        cache = (
+            os.path.join(args.workdir, f"{args.tag}_data.npz")
+            if args.data_cache == "auto" else args.data_cache
+        )
+        pipeline.ensure_data_cache(cfg, args.seed, cache)
+        print("== datagen done", flush=True)
+        return
 
     tag, seg = args.tag, args.child_segment
 
@@ -312,7 +327,8 @@ def main():
     # Internal: child invocation.
     ap.add_argument("--child_role",
                     choices=["ce", "distill", "eval", "probe",
-                             "warm_distill", "warm_gen"], default="")
+                             "warm_distill", "warm_gen", "datagen"],
+                    default="")
     ap.add_argument("--child_segment", type=int, default=0)
     args = ap.parse_args()
     if args.child_role:
@@ -341,6 +357,23 @@ def main():
         "--data_cache", args.data_cache,
     ]
     probe = base + ["--child_role", "probe"]
+    cache_path = (
+        os.path.join(args.workdir, f"{args.tag}_data.npz")
+        if args.data_cache == "auto" else args.data_cache
+    )
+    if cache_path and not os.path.exists(cache_path):
+        # Fill the data cache HOST-SIDE before any child touches the
+        # relay: a CPU-only child (no axon init, no device dispatches)
+        # regenerates the identical data in ~75 s, and every TPU child
+        # and retry then starts from the cache (round-5 addition).
+        ok = run_with_retries(
+            base + ["--child_role", "datagen"], probe, "datagen",
+            retries=args.retries, cooldown=args.cooldown,
+            timeout=args.segment_timeout, log_prefix="[shadow-segments]",
+        )
+        if not ok:
+            print("[shadow-segments] datagen FAILED; aborting", flush=True)
+            sys.exit(1)
     if not args.no_warm:
         # Program-class warming, each class a fresh process (see
         # _warm_child). Retried by the same relay protocol: a crash

@@ -166,7 +166,7 @@ def test_frontier_campaign_warms_program_classes_first(tmp_path):
         for line in proc.stdout.splitlines() if "[dryrun]" in line
     ]
     assert labels == [
-        "warm_tail", "warm_probe", "ce segment -1",
+        "datagen", "warm_tail", "warm_probe", "ce segment -1",
         "distill segment 0", "eval segment 1",
     ], labels
 
@@ -194,7 +194,7 @@ def test_shadow_campaign_warms_program_classes_first(tmp_path):
         for line in proc.stdout.splitlines() if "[dryrun]" in line
     ]
     assert labels == [
-        "warm_distill", "warm_gen", "ce segment -1",
+        "datagen", "warm_distill", "warm_gen", "ce segment -1",
         "distill segment 0", "distill segment 1", "eval segment 2",
     ], labels
     # --no_warm skips the warm children.
@@ -278,6 +278,64 @@ def test_make_target_and_exact_rescore_cpu_tiny(tmp_path):
     kinds = [r["kind"] for r in rows]
     assert kinds == ["exact_dist", "sampled_from_dist"]
     assert all(0.0 <= r["fidelity"] <= 1.0 for r in rows)
+
+
+def test_ensure_data_cache_matches_run_experiment(tmp_path):
+    """pipeline.ensure_data_cache (the CPU datagen child's core) must
+    derive keys byte-identically to run_experiment: an experiment run
+    FROM the pre-filled cache reproduces the self-generated results."""
+    from ddqst_tpu import pipeline
+    from ddqst_tpu.config import get_preset
+
+    cfg = get_preset("special_states").replace(name="ensure_cache_test")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(embed_dim=16, hidden_dim=32, num_blocks=1),
+        diffusion=cfg.diffusion.__class__(num_timesteps=10, schedule="cosine"),
+        train=cfg.train.__class__(
+            batch_size=64, learning_rate=1e-3, optimizer="adam",
+            num_epochs=1, log_every=0, eval_every=0,
+        ),
+        data=cfg.data.__class__(
+            num_qubits=2, state_type="bell", noise_type="ideal",
+            shots_train=100, shots_infer=100,
+        ),
+    )
+    ref = pipeline.run_experiment(cfg, seed=3)
+
+    cache = str(tmp_path / "data.npz")
+    pipeline.ensure_data_cache(cfg, 3, cache)
+    assert os.path.exists(cache)
+    mtime = os.path.getmtime(cache)
+    pipeline.ensure_data_cache(cfg, 3, cache)  # second call: no-op
+    assert os.path.getmtime(cache) == mtime
+
+    logs: list[str] = []
+    r = pipeline.run_experiment(
+        cfg, seed=3, data_cache=cache, log_fn=logs.append,
+    )
+    assert any("loading cached data" in line for line in logs)
+    assert r["raw_fidelity"] == ref["raw_fidelity"]
+    assert r["fidelity"] == pytest.approx(ref["fidelity"], abs=1e-5)
+
+
+def test_frontier_datagen_child_fills_cache(tmp_path):
+    """The frontier driver's CPU datagen child writes the tag's data
+    cache without touching any device path (it forces CPU mode)."""
+    work = tmp_path / "work"
+    work.mkdir()
+    cmd = [
+        sys.executable, os.path.join(SCRIPTS, "run_frontier_segments.py"),
+        "--tag", "cpu_tiny", "--child_role", "datagen",
+        "--workdir", str(work),
+        "--out", str(tmp_path / "results.jsonl"),
+    ]
+    proc = subprocess.run(
+        cmd, env=_env(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "== datagen done" in proc.stdout
+    assert (work / "cpu_tiny_data.npz").exists()
 
 
 def test_run_experiment_data_cache(tmp_path):
