@@ -388,6 +388,15 @@ def finetune_chain(
         # is the only shape change that can unblock a campaign.
         cap_rows = int(os.environ.get("DDQST_GRID_ROWS", "8192"))
         chunk_b = max(1, min(num_bases, cap_rows // 2**num_qubits))
+    # DDQST_SKIP_GRID_CE=1: campaign fallback — run NO full-grid chain
+    # evals at all (entry/exit CE logged as NaN, no held-out early stop,
+    # uniform minibatch draw). Round 5 measured today's relay worker
+    # crashing on the N=10 chain-eval program class at EVERY chunk size
+    # (8192 and 1024 rows, 7 attempts) while the optimisation chunk and
+    # CE-training classes ran fine; this knob lets distillation segments
+    # proceed on the proven classes only, with quality read from the
+    # final generation/metrics tail instead of in-loop evals.
+    skip_grid_ce = os.environ.get("DDQST_SKIP_GRID_CE") == "1"
 
     @jax.jit
     def _grid_ce_chunk(params, tgt_chunk, bidx):
@@ -434,7 +443,12 @@ def finetune_chain(
     # honest ``train_ce_before``). With hard_frac > 0, the per-basis
     # EXCESS over the target's own entropy drives the minibatch draw —
     # hard-basis mining (see docstring).
-    ce_before = grid_ce_per_basis(state.params, target)
+    if skip_grid_ce:
+        ce_before = np.full((num_bases,), np.nan)
+        val = None
+        hard_frac = 0.0  # mining needs the per-basis entry CE
+    else:
+        ce_before = grid_ce_per_basis(state.params, target)
     draw_p = None
     if hard_frac > 0 and minibatched:
         tgt_np = np.asarray(target, np.float64)
@@ -546,7 +560,9 @@ def finetune_chain(
         info.update(
             val_history=val_history, best_step=best_step, best_val_ce=best_ce
         )
-    info["train_ce_after"] = full_grid_ce(params, target)
+    info["train_ce_after"] = (
+        float("nan") if skip_grid_ce else full_grid_ce(params, target)
+    )
     # Portable Adam state for segment chaining (final-step moments; with
     # val selection these correspond to the LAST params, not best_params —
     # chaining is only meaningful for val-free campaign segments).

@@ -328,3 +328,27 @@ def test_hard_basis_mining_targets_starved_bases():
                                steps=6, salt=4, accum=2, hard_frac=0.5)
     assert np.isfinite(np.asarray(losses)).all()
     assert info["train_ce_after"] <= info["train_ce_before"] + 0.05
+
+
+def test_skip_grid_ce_env_runs_without_chain_evals(monkeypatch):
+    """DDQST_SKIP_GRID_CE=1 (round-5 relay fallback: the N=10 chain-eval
+    program class crashed today's worker at every chunk size while the
+    optimisation classes ran fine) must run the full step budget with no
+    grid-CE dispatches: NaN entry/exit CE, no held-out selection, and the
+    same descent machinery (losses still finite and decreasing-ish)."""
+    cfg, state, target, schedule, k_train = _distill_setup()
+    monkeypatch.setenv("DDQST_SKIP_GRID_CE", "1")
+    counts = np.asarray(target, np.float32)
+    val = counts * 0.25
+    st, losses, info = training.finetune_chain(
+        state, target, schedule, 3, steps=8, learning_rate=1e-3,
+        exact=cfg.diffusion.exact, basis_batch=4,
+        key=jax.random.fold_in(k_train, 0xD157),
+        steps_per_call=4, val_counts=val, hard_frac=0.5,
+    )
+    assert len(losses) == 8  # no early stop without val evals
+    assert np.isnan(info["train_ce_before"])
+    assert np.isnan(info["train_ce_after"])
+    assert "best_step" not in info
+    assert "hard_draw_p" not in info  # mining disabled (needs entry CE)
+    assert np.all(np.isfinite(np.asarray(losses)))
