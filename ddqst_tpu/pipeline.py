@@ -441,7 +441,8 @@ def _run_shadow_experiment(
             f"{ft_info['train_ce_before']:.5f} -> "
             f"{ft_info['train_ce_after']:.5f}"
         )
-        if val_counts is not None:
+        if val_counts is not None and "best_val_ce" in ft_info:
+            # Absent under DDQST_SKIP_GRID_CE=1 (no held-out evals ran).
             msg += (
                 f"; held-out best {ft_info['best_val_ce']:.5f} at step "
                 f"{ft_info['best_step']} (ran {ft_losses.shape[0]} of "
@@ -751,7 +752,8 @@ def run_experiment(
                 f"{ft_info['train_ce_before']:.5f} -> "
                 f"{ft_info['train_ce_after']:.5f}"
             )
-            if val_counts is not None:
+            if val_counts is not None and "best_val_ce" in ft_info:
+                # Absent under DDQST_SKIP_GRID_CE=1 (no held-out evals).
                 msg += (
                     f"; held-out best {ft_info['best_val_ce']:.5f} at step "
                     f"{ft_info['best_step']} "

@@ -352,3 +352,22 @@ def test_skip_grid_ce_env_runs_without_chain_evals(monkeypatch):
     assert "best_step" not in info
     assert "hard_draw_p" not in info  # mining disabled (needs entry CE)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_skip_grid_ce_shadow_pipeline_segment(tmp_path, monkeypatch):
+    """A shadow distill segment must run end to end under
+    DDQST_SKIP_GRID_CE=1 (the round-5 campaign hit a KeyError on the
+    held-out log line exactly here — the fail-fast classifier caught it
+    as a deterministic bug, correctly)."""
+    monkeypatch.setenv("DDQST_SKIP_GRID_CE", "1")
+    p0 = str(tmp_path / "seg0_params")
+    logs = []
+    res = pipeline.run_experiment(
+        _tiny_shadow_cfg("sh_skip", 4, salt=1), seed=0, log_fn=logs.append,
+        params_save=p0, stop_after="distill",
+    )
+    assert os.path.exists(p0)
+    info = res["ft_info"]
+    assert np.isnan(info["train_ce_before"])
+    assert np.isnan(info["train_ce_after"])
+    assert len(res["ft_losses"]) == 4
