@@ -539,6 +539,15 @@ def finetune_chain(
         params, opt_state, losses = run_chunk(
             params, opt_state, jax.random.fold_in(k0, done), length
         )
+        # Bound the remote dispatch queue: each chunk must EXECUTE before
+        # the next is enqueued. Without an in-loop materialisation (e.g.
+        # under DDQST_SKIP_GRID_CE, which removes every held-out eval)
+        # the whole multi-chunk loop queues as one async wave and the
+        # deferred execution burst at the final params pull crashes the
+        # relay worker — measured round 5: 100-step loops completed, then
+        # died inside the orbax save, three times. A scalar pull per
+        # chunk restores the bounded-dispatch protocol at negligible cost.
+        float(losses[-1])
         all_losses.append(losses)
         done += length
         since_eval += length * equiv_per_step
